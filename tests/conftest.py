@@ -1,0 +1,17 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding tests
+run anywhere (mirrors the reference's single-process testing posture —
+SURVEY.md §4 — adapted to mesh testing via host-platform device emulation).
+
+Note: this image's JAX build hardcodes `jax_platforms='axon,cpu'` at import, so
+plain JAX_PLATFORMS env vars are ignored; we must override via config.update
+before any backend initialization."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
