@@ -5,14 +5,22 @@ limbs.  All ops broadcast over leading batch dims, are jit/vmap/shard_map
 friendly, and never need 64-bit integers: 16x16-bit partial products fit in
 uint32 exactly, and column accumulators stay < 2^22.
 
-Internal representation is Montgomery form (R = 2^256).  Conversions happen at
-the package boundary (from_int / to_int).
+Representation invariants (lazy/redundant reduction — a deliberate TPU
+compile-time/runtime optimization):
+  * limbs are always < 2^16,
+  * the represented VALUE is in [0, 2p] (NOT fully reduced!).
+Montgomery multiplication maps [0,2p]x[0,2p] -> [0,2p] without a final
+conditional subtraction (since 4p < R = 2^256); add/sub reduce mod 2p.
+Anything that compares or exports values canonicalizes first (`canon`).
 
-Reference parity notes (behavioral, not translated): mirrors the role of
-`util::arithmetic` in the reference (/root/reference/snark-verifier/src/util/
-arithmetic.rs — `batch_invert_and_mul` :52-75, `powers`/`inner_product`/
-`horner` :293-304).  The design (limb planes + Montgomery on 16-bit limbs) is
-TPU-native and shares no structure with the Rust code.
+Montgomery product columns are computed with a one-hot dot_general (a single
+MXU/VPU-friendly contraction) instead of long update-slice chains: this keeps
+XLA graphs small, which matters because EC formulas compose ~20 muls.
+
+Reference parity (behavioral): plays the role of `util::arithmetic` in
+/root/reference/snark-verifier/src/util/arithmetic.rs (`batch_invert_and_mul`
+:52-75, `powers`/`inner_product`/`horner` :293-304); the limb/lazy-reduction
+design here is TPU-native and independent.
 """
 
 from __future__ import annotations
@@ -26,10 +34,33 @@ import numpy as np
 from .spec import MASK, NLIMBS, W, FieldSpec, int_to_limbs, limbs_to_int
 
 _U32 = jnp.uint32
+NCOLS = 2 * NLIMBS + 1  # product column buffer width
 
 
 def _u(x: int):
     return _U32(x)
+
+
+def _build_onehot_mats():
+    """One-hot (256, 33) matrices summing outer-product terms into columns:
+    TLO routes lo16(a_i*b_j) to column i+j, THI routes hi16 to column i+j+1."""
+    tlo = np.zeros((NLIMBS * NLIMBS, NCOLS), np.uint32)
+    thi = np.zeros((NLIMBS * NLIMBS, NCOLS), np.uint32)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            tlo[NLIMBS * i + j, i + j] = 1
+            thi[NLIMBS * i + j, i + j + 1] = 1
+    return jnp.asarray(tlo), jnp.asarray(thi)
+
+
+_TLO, _THI = _build_onehot_mats()
+
+
+def _pad_last(x, pos: int, width: int):
+    """Place x (...,k) at columns [pos, pos+k) of a (...,width) buffer."""
+    k = x.shape[-1]
+    cfg = [(0, 0, 0)] * (x.ndim - 1) + [(pos, width - k - pos, 0)]
+    return jax.lax.pad(x, _u(0), cfg)
 
 
 class LimbField:
@@ -38,11 +69,11 @@ class LimbField:
     def __init__(self, spec: FieldSpec):
         self.spec = spec
         self.P = jnp.asarray(spec.p_limbs)  # (16,)
+        self.P2 = jnp.asarray(int_to_limbs(2 * spec.p))
         self.R2 = jnp.asarray(spec.r2_limbs)
         self.NINV = _u(spec.ninv)
         self.zero = jnp.zeros((NLIMBS,), _U32)
         self.one = jnp.asarray(spec.r_limbs)  # 1 in Montgomery form
-        # Static exponent bit-array for inversion: p - 2, little-endian bits.
         e = spec.p - 2
         self._inv_bits = jnp.asarray(
             [(e >> i) & 1 for i in range(spec.num_bits)], dtype=_U32
@@ -52,75 +83,103 @@ class LimbField:
 
     @staticmethod
     def _carry16(t):
-        """Propagate carries over the last-axis 16 limbs; values must be <2^31.
+        """Ripple carries over last-axis 16 limbs (inputs < 2^31).
+        Returns (limbs, carry_out).  lax.scan keeps the jaxpr tiny — compile
+        cost matters because EC formulas compose tens of muls."""
 
-        Returns (limbs, carry_out)."""
-        outs = []
-        c = jnp.zeros(t.shape[:-1], _U32)
-        for k in range(NLIMBS):
-            v = t[..., k] + c
-            outs.append(v & _u(MASK))
-            c = v >> W
-        return jnp.stack(outs, axis=-1), c
+        def body(c, tk):
+            v = tk + c
+            return v >> W, v & _u(MASK)
 
-    def _sub_limbs(self, a, b):
+        c0 = jnp.zeros(t.shape[:-1], _U32)
+        cout, outs = jax.lax.scan(body, c0, jnp.moveaxis(t, -1, 0))
+        return jnp.moveaxis(outs, 0, -1), cout
+
+    @staticmethod
+    def _sub_limbs(a, b):
         """a - b limbwise with borrow chain. Returns (diff, borrow)."""
-        outs = []
-        borrow = jnp.zeros(a.shape[:-1], _U32)
-        for k in range(NLIMBS):
-            v = a[..., k] + _u(1 << W) - b[..., k] - borrow
-            outs.append(v & _u(MASK))
-            borrow = _u(1) - (v >> W)
-        return jnp.stack(outs, axis=-1), borrow
+        a, b = jnp.broadcast_arrays(a, b)
 
-    def _cond_sub_p(self, a):
-        """Reduce a < 2p into [0, p)."""
-        d, borrow = self._sub_limbs(a, self.P)
+        def body(borrow, ab):
+            ak, bk = ab
+            v = ak + _u(1 << W) - bk - borrow
+            return _u(1) - (v >> W), v & _u(MASK)
+
+        b0 = jnp.zeros(a.shape[:-1], _U32)
+        borrow, outs = jax.lax.scan(
+            body, b0, (jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0))
+        )
+        return jnp.moveaxis(outs, 0, -1), borrow
+
+    def _cond_sub(self, a, m):
+        """Subtract modulus-limbs m if a >= m."""
+        d, borrow = self._sub_limbs(a, m)
         return jnp.where((borrow == 0)[..., None], d, a)
+
+    def canon(self, a):
+        """Map the redundant [0, 2p] representation to canonical [0, p)."""
+        return self._cond_sub(self._cond_sub(a, self.P2), self.P)
 
     # ------------------------------------------------------------ arithmetic
 
     def add(self, a, b):
         t = a + b  # limbs < 2^17
-        s, _ = self._carry16(t)  # a+b < 2p < 2^256, carry_out == 0
-        return self._cond_sub_p(s)
+        s, _ = self._carry16(t)  # a+b <= 4p < 2^256: no carry out
+        return self._cond_sub(s, self.P2)
 
     def sub(self, a, b):
+        """a - b + 2p, reduced mod 2p: stays in [0, 2p]."""
         d, borrow = self._sub_limbs(a, b)
-        dp = d + self.P
+        # borrow==1: value is a-b+2^256; adding 2p and dropping the carry-out
+        # of 2^256 yields a-b+2p.  borrow==0: a-b in [0,2p] already.
+        dp = d + self.P2
         s, _ = self._carry16(dp)
         return jnp.where((borrow == 1)[..., None], s, d)
 
     def neg(self, a):
-        d, _ = self._sub_limbs(self.P + jnp.zeros_like(a), a)
-        # p - a; if a == 0 this gives p, fold back to 0.
-        return jnp.where(self.is_zero(a)[..., None], jnp.zeros_like(a), d)
+        d, _ = self._sub_limbs(self.P2 + jnp.zeros_like(a), a)
+        return d  # 2p - a, in [0, 2p]
 
     def mul(self, a, b):
-        """Montgomery product: a*b*R^{-1} mod p."""
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        t = jnp.zeros(shape + (2 * NLIMBS,), _U32)
-        # Schoolbook product with lo/hi split so columns stay < 2^21.
-        for i in range(NLIMBS):
-            row = a[..., i : i + 1] * b  # (...,16), exact in uint32
-            t = t.at[..., i : i + NLIMBS].add(row & _u(MASK))
-            t = t.at[..., i + 1 : i + 1 + NLIMBS].add(row >> W)
-        # Interleaved Montgomery reduction, one limb per step.
-        for i in range(NLIMBS):
-            m = (t[..., i] * self.NINV) & _u(MASK)
-            row = m[..., None] * self.P
-            t = t.at[..., i : i + NLIMBS].add(row & _u(MASK))
-            t = t.at[..., i + 1 : i + 1 + NLIMBS].add(row >> W)
-            t = t.at[..., i + 1].add(t[..., i] >> W)  # column i is ≡ 0 mod 2^16
-        res = t[..., NLIMBS:]
-        s, _ = self._carry16(res)  # result < 2p, fits 16 limbs
-        return self._cond_sub_p(s)
+        """Montgomery product a*b*R^{-1}; [0,2p] in, [0,2p] out."""
+        bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, bshape + (NLIMBS,))
+        b = jnp.broadcast_to(b, bshape + (NLIMBS,))
+        outer = a[..., :, None] * b[..., None, :]  # exact in uint32
+        lo = (outer & _u(MASK)).reshape(bshape + (NLIMBS * NLIMBS,))
+        hi = (outer >> W).reshape(bshape + (NLIMBS * NLIMBS,))
+        dims = (((lo.ndim - 1,), (0,)), ((), ()))
+        t = jax.lax.dot_general(lo, _TLO, dims) + jax.lax.dot_general(
+            hi, _THI, dims
+        )  # (..., 33) columns, < 2^21
+        # Interleaved Montgomery reduction as a rolling-window scan: each step
+        # kills the lowest column (≡ 0 mod 2^16 after adding m*p), forwards
+        # its carry, and shifts the window left one limb.  Uniform body -> one
+        # jaxpr instance for all 16 steps.
+        P = self.P
+        NINV = self.NINV
+
+        def body(t, _):
+            m = (t[..., 0] * NINV) & _u(MASK)
+            row = m[..., None] * P
+            t = t.at[..., :NLIMBS].add(row & _u(MASK))
+            t = t.at[..., 1 : NLIMBS + 1].add(row >> W)
+            t = t.at[..., 1].add(t[..., 0] >> W)
+            t = jnp.concatenate(
+                [t[..., 1:], jnp.zeros(t.shape[:-1] + (1,), _U32)], axis=-1
+            )
+            return t, None
+
+        t, _ = jax.lax.scan(body, t, None, length=NLIMBS)
+        res = t[..., :NLIMBS]
+        s, _ = self._carry16(res)  # value <= 2p, fits 16 limbs
+        return s
 
     def square(self, a):
         return self.mul(a, a)
 
     def mul_small(self, a, k: int):
-        """a * k for small static k via repeated addition (k <= ~30)."""
+        """a * k for small static k via double/add chains."""
         if k == 0:
             return jnp.broadcast_to(self.zero, a.shape)
         acc = a
@@ -148,7 +207,7 @@ class LimbField:
 
     def inv(self, a):
         """a^{p-2} via lax.scan over static exponent bits (0 maps to 0)."""
-        bits = self._inv_bits  # little-endian; scan from MSB down
+        bits = self._inv_bits
 
         def body(acc, bit):
             acc = self.square(acc)
@@ -160,8 +219,7 @@ class LimbField:
         return acc
 
     def pow_dyn(self, a, e_bits):
-        """a^e for a runtime exponent given as a (nbits,)-uint32 bit array
-        (little-endian). Scanned MSB-first."""
+        """a^e for a runtime exponent as a little-endian uint32 bit array."""
 
         def body(acc, bit):
             acc = self.square(acc)
@@ -173,29 +231,20 @@ class LimbField:
         return acc
 
     def batch_inv(self, a):
-        """Montgomery-trick batched inversion over the leading axis.
-
-        Zero entries map to zero (matching the reference's convention in
-        `batch_invert_and_mul`, util/arithmetic.rs:52-75, which requires
-        nonzero inputs — we extend it to tolerate zeros for vmap safety).
-        """
+        """Montgomery-trick batched inversion over the leading axis; zeros map
+        to zero (reference `batch_invert_and_mul` util/arithmetic.rs:52-75
+        requires nonzero — we tolerate zeros for vmap safety)."""
         is_z = self.is_zero(a)[..., None]
         a_safe = jnp.where(is_z, self.one, a)
-
-        def mul_pair(x, y):
-            return self.mul(x, y)
-
-        prefix = jax.lax.associative_scan(mul_pair, a_safe, axis=0)
+        prefix = jax.lax.associative_scan(self.mul, a_safe, axis=0)
         total_inv = self.inv(prefix[-1])
 
-        # suffix pass: inv_i = prefix_{i-1} * suffix_inv_i
         def body(carry, xs):
             ai, pi_prev = xs
             out = self.mul(carry, pi_prev)
             carry = self.mul(carry, ai)
             return carry, out
 
-        n = a.shape[0]
         pi_prev = jnp.concatenate(
             [jnp.broadcast_to(self.one, a_safe[:1].shape), prefix[:-1]], axis=0
         )
@@ -205,12 +254,11 @@ class LimbField:
 
     # ------------------------------------------------------------ predicates
 
-    @staticmethod
-    def is_zero(a):
-        return jnp.all(a == 0, axis=-1)
+    def is_zero(self, a):
+        return jnp.all(self.canon(a) == 0, axis=-1)
 
     def eq(self, a, b):
-        return jnp.all(a == b, axis=-1)
+        return jnp.all(self.canon(a) == self.canon(b), axis=-1)
 
     @staticmethod
     def select(c, a, b):
@@ -223,9 +271,9 @@ class LimbField:
         return self.mul(a, self.R2)
 
     def from_mont(self, a):
-        """Multiply by 1 (non-Montgomery) == Montgomery reduction of a."""
+        """Montgomery reduction of a (multiply by plain 1), canonicalized."""
         one_plain = jnp.zeros((NLIMBS,), _U32).at[0].set(1)
-        return self.mul(a, one_plain)
+        return self.canon(self.mul(a, one_plain))
 
     def from_int(self, x):
         """Host-side: python int(s) -> Montgomery limb array (pure numpy —
@@ -248,7 +296,6 @@ class LimbField:
         vals = [limbs_to_int(v) * rinv % p for v in flat]
         return np.array(vals, dtype=object).reshape(mont.shape[:-1])
 
-    # canonical little-endian bytes of the standard (non-Montgomery) value
     def to_repr_u16(self, a):
         """Device-side canonical value as 16 uint32-held 16-bit limbs."""
         return self.from_mont(a)
