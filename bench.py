@@ -1,0 +1,104 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md north star): MSM points/sec/chip at 2^20 on BN254 G1.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
+against the analytic north-star placeholder 1.0 until a measured reference
+CPU number exists.
+
+Points are generated on-device as [i+1]·G via a log-depth doubling ladder, so
+the result is self-checkable: Σ sᵢ·[i+1]G == [Σ sᵢ·(i+1) mod r]·G.
+
+Env knobs: BENCH_LOG2N (default 20), BENCH_REPS (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def gen_points(n):
+    """[1..n]·G on device: log-depth ladder, arr_{k+1} = arr_k ++ (arr_k + [2^k]G)."""
+    from snark_verifier_tpu.ec import G1, generator, py_ec, from_affine_int
+
+    levels = int(np.log2(n))
+    assert 1 << levels == n, "n must be a power of two"
+
+    # host-precomputed offsets [2^k]G (cheap python ints)
+    offs = []
+    pt = py_ec.G1_GEN
+    for _ in range(levels):
+        offs.append(pt)
+        pt = py_ec.double(pt)
+    offs_dev = from_affine_int(offs)
+
+    @jax.jit
+    def build(offs_dev):
+        arr = generator()[None]
+        for k in range(levels):
+            arr = jnp.concatenate([arr, G1.add(arr, offs_dev[k][None])], 0)
+        return arr
+
+    return build(offs_dev)
+
+
+def main():
+    log2n = int(os.environ.get("BENCH_LOG2N", "20"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    n = 1 << log2n
+
+    from snark_verifier_tpu.ec import G1, generator, to_affine_int, py_ec
+    from snark_verifier_tpu.ff.spec import FR, int_to_limbs
+    from snark_verifier_tpu.msm import msm
+
+    t0 = time.time()
+    points = gen_points(n)
+    points.block_until_ready()
+    print(f"# point gen: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(42)
+    ks = [int.from_bytes(rng.bytes(32), "little") % FR.p for i in range(n)]
+    scalars = jnp.asarray(np.stack([int_to_limbs(k) for k in ks]))
+
+    t0 = time.time()
+    out, ovf = msm(points, scalars)
+    out.block_until_ready()
+    print(f"# msm compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out, ovf = msm(points, scalars)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    # self-check: expected scalar on the generator
+    k_total = sum(s * (i + 1) for i, s in enumerate(ks)) % FR.p
+    want = py_ec.scalar_mul(py_ec.G1_GEN, k_total)
+    got = to_affine_int(out)
+    ok = (got == want) and not bool(ovf)
+    print(f"# correct={ok} overflow={bool(ovf)} best={dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"msm_points_per_sec_2^{log2n}_bn254_g1"
+                + ("" if ok else "_INCORRECT"),
+                "value": round(n / dt, 1),
+                "unit": "points/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

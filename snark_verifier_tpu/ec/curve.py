@@ -1,20 +1,21 @@
-"""Generic short-Weierstrass (a=0) Jacobian curve ops over any limb field.
+"""Generic short-Weierstrass (a=0) curve ops over any limb field.
 
-Points are stacked coordinate arrays: shape (..., 3) + elem_shape where
-elem_shape is the field element's trailing shape ((16,) for Fq, (2,16) for
-Fq2).  Infinity is encoded as Z == 0 (all-zero limbs).  All ops are complete
-(they handle doubling and infinity via selects), broadcast over leading batch
-dims, and are jit/vmap/scan-friendly.
+Points are homogeneous projective coordinates stacked as (..., 3) + elem_shape
+(elem_shape = (16,) for Fq, (2,16) for Fq2).  Infinity is (0 : 1 : 0).
 
-Compile-time design note: XLA graph size scales with the number of *distinct*
-field-mul instances, not the batch size, so independent multiplications inside
-a formula are stacked along a fresh leading axis and issued as ONE batched
-mul.  This cuts EC-add compile time by ~4x.
+Group law: Renes–Costello 2015 *complete* addition (Algorithm 7 for a=0) —
+branchless: the same 12-mul formula is correct for P==Q, P==-Q and identity
+inputs, so no predicate/select logic is needed.  That matters twice on TPU:
+selects cost lanes, and (more importantly) the predicate-free graph keeps XLA
+compile time flat.  The 12 muls have only 2 dependency layers, so each add
+issues exactly 2 batched field-mul instances.
 
-Formulas: dbl-2009-l and add-2007-bl (EFD), chosen for low mul count on a=0
-curves.  Reference parity: provides the group ops underlying `util::msm` and
-the native loader (/root/reference/snark-verifier/src/util/msm.rs,
-loader/native.rs, which delegate to halo2curves); independent TPU design.
+Completeness requires odd-order groups — true for BN254 G1/G2 subgroups.
+
+Reference parity: provides the group ops underlying `util::msm` and the
+native loader (/root/reference/snark-verifier/src/util/msm.rs,
+loader/native.rs, which delegate to halo2curves' Jacobian formulas); the
+complete-projective choice here is an independent TPU-native design.
 """
 
 from __future__ import annotations
@@ -24,16 +25,24 @@ import jax.numpy as jnp
 
 
 class CurveOps:
-    """Jacobian-coordinate group ops, generic over the coordinate field."""
+    """Complete projective group ops, generic over the coordinate field."""
 
-    def __init__(self, field, b: int, name: str = "curve"):
+    def __init__(self, field, b: int, name: str = "curve", b3_elem=None):
         self.F = field
         self.name = name
         self.b_int = b
         self.edims = getattr(field, "edims", 1)
+        # 3*b as a field element for extension-field curves, else small-int 3b
+        self.b3_elem = b3_elem
+        self.b3_int = 3 * b if b3_elem is None else None
 
     def _elem_shape(self):
         return tuple(jnp.shape(self.F.one))
+
+    def _mul_b3(self, x):
+        if self.b3_elem is not None:
+            return self.F.mul(x, self.b3_elem)
+        return self.F.mul_small(x, self.b3_int)
 
     # ------------------------------------------------------------- structure
 
@@ -50,8 +59,11 @@ class CurveOps:
         return pt.shape[: -(1 + self.edims)]
 
     def infinity(self, batch_shape=()):
-        shape = tuple(batch_shape) + (3,) + self._elem_shape()
-        return jnp.zeros(shape, jnp.uint32)
+        """(0 : 1 : 0)."""
+        F = self.F
+        zero = jnp.zeros_like(F.one)
+        pt = self.stack(zero, F.one, zero)
+        return jnp.broadcast_to(pt, tuple(batch_shape) + pt.shape)
 
     def is_infinity(self, pt):
         _, _, z = self.coords(pt)
@@ -64,69 +76,57 @@ class CurveOps:
 
     # ------------------------------------------------------------ group law
 
-    def double(self, pt):
-        F = self.F
-        x, y, z = self.coords(pt)
-        sa, sb = self._unstack2(F.square(jnp.stack([x, y], 0)))  # x^2, y^2
-        prod = F.mul(
-            jnp.stack([sb, F.add(x, sb), y], 0), jnp.stack([sb, F.add(x, sb), z], 0)
-        )
-        c, xb2, yz = prod[0], prod[1], prod[2]  # b^2, (x+b)^2, y*z
-        d = F.double(F.sub(F.sub(xb2, sa), c))
-        e = F.mul_small(sa, 3)
-        f = F.square(e)
-        x3 = F.sub(f, F.double(d))
-        y3 = F.sub(F.mul(e, F.sub(d, x3)), F.mul_small(c, 8))
-        z3 = F.double(yz)
-        return self.stack(x3, y3, z3)
-
-    @staticmethod
-    def _unstack2(a):
-        return a[0], a[1]
-
     def add(self, p, q):
-        """Complete Jacobian addition (handles P==Q, P==-Q, infinities)."""
+        """Complete addition (RC15 alg. 7, a=0): 12M + 2·(3b) in 2 layers."""
         F = self.F
         p, q = jnp.broadcast_arrays(p, q)
         x1, y1, z1 = self.coords(p)
         x2, y2, z2 = self.coords(q)
-        zz = F.square(jnp.stack([z1, z2], 0))
-        z1z1, z2z2 = zz[0], zz[1]
-        m1 = F.mul(
-            jnp.stack([x1, x2, y1, y2], 0), jnp.stack([z2z2, z1z1, z2, z1], 0)
+        # Layer 1: six independent products.
+        l1a = jnp.stack(
+            [x1, y1, z1, F.add(x1, y1), F.add(y1, z1), F.add(x1, z1)], 0
         )
-        u1, u2, t1, t2 = m1[0], m1[1], m1[2], m1[3]
-        m2 = F.mul(jnp.stack([t1, t2], 0), jnp.stack([z2z2, z1z1], 0))
-        s1, s2 = m2[0], m2[1]
-        h = F.sub(u2, u1)
-        rr = F.double(F.sub(s2, s1))
-        h2 = F.double(h)
-        zs = F.add(z1, z2)
-        m3 = F.square(jnp.stack([h2, zs, rr], 0))
-        i, zs2, rr2 = m3[0], m3[1], m3[2]
-        m4 = F.mul(
-            jnp.stack([h, u1, F.sub(F.sub(zs2, z1z1), z2z2)], 0),
-            jnp.stack([i, i, h], 0),
+        l1b = jnp.stack(
+            [x2, y2, z2, F.add(x2, y2), F.add(y2, z2), F.add(x2, z2)], 0
         )
-        j, v, z3 = m4[0], m4[1], m4[2]
-        x3 = F.sub(F.sub(rr2, j), F.double(v))
-        m5 = F.mul(jnp.stack([rr, s1], 0), jnp.stack([F.sub(v, x3), j], 0))
-        y3 = F.sub(m5[0], F.double(m5[1]))
-        out = self.stack(x3, y3, z3)
+        m = F.mul(l1a, l1b)
+        t0, t1, t2 = m[0], m[1], m[2]
+        t3 = F.sub(m[3], F.add(t0, t1))  # X1Y2 + X2Y1
+        t4 = F.sub(m[4], F.add(t1, t2))  # Y1Z2 + Y2Z1
+        ty = F.sub(m[5], F.add(t0, t2))  # X1Z2 + X2Z1
+        t0_3 = F.add(F.double(t0), t0)  # 3·X1X2
+        t2b = self._mul_b3(t2)  # 3b·Z1Z2
+        z3l = F.add(t1, t2b)  # Y1Y2 + 3bZ1Z2
+        t1m = F.sub(t1, t2b)  # Y1Y2 - 3bZ1Z2
+        yb = self._mul_b3(ty)  # 3b·(X1Z2+X2Z1)
+        # Layer 2: six independent products.
+        l2a = jnp.stack([t3, t4, yb, t1m, t0_3, z3l], 0)
+        l2b = jnp.stack([t1m, yb, t0_3, z3l, t3, t4], 0)
+        mm = F.mul(l2a, l2b)
+        x3 = F.sub(mm[0], mm[1])  # t3·t1m − t4·yb
+        y3 = F.add(mm[3], mm[2])  # t1m·z3l + yb·t0_3
+        z3 = F.add(mm[5], mm[4])  # z3l·t4 + t0_3·t3
+        return self.stack(x3, y3, z3)
 
-        h_zero = F.is_zero(h)
-        r_zero = F.is_zero(rr)
-        inf1 = F.is_zero(z1)
-        inf2 = F.is_zero(z2)
-        # P == Q (same affine point): fall back to doubling.
-        out = self._sel(h_zero & r_zero & ~inf1 & ~inf2, self.double(p), out)
-        # P == -Q: infinity.
-        out = self._sel(
-            h_zero & ~r_zero & ~inf1 & ~inf2, self.infinity(self.batch_shape(out)), out
+    def double(self, pt):
+        """Complete doubling (RC15 alg. 9, a=0): 8M + 1·(3b) in 2 layers."""
+        F = self.F
+        x, y, z = self.coords(pt)
+        # Layer 1: Y², YZ, Z², XY.
+        m = F.mul(jnp.stack([y, y, z, x], 0), jnp.stack([y, z, z, y], 0))
+        t0, t1, zz, xy = m[0], m[1], m[2], m[3]
+        z8 = F.double(F.double(F.double(t0)))  # 8Y²
+        t2 = self._mul_b3(zz)  # 3b·Z²
+        y3l = F.add(t0, t2)  # Y² + 3bZ²
+        t0m = F.sub(t0, F.add(F.double(t2), t2))  # Y² − 9bZ²
+        # Layer 2: t2·8Y², YZ·8Y², (Y²−9bZ²)·(Y²+3bZ²), (Y²−9bZ²)·XY.
+        mm = F.mul(
+            jnp.stack([t2, t1, t0m, t0m], 0), jnp.stack([z8, z8, y3l, xy], 0)
         )
-        out = self._sel(inf1, q, out)
-        out = self._sel(inf2, p, out)
-        return out
+        y3 = F.add(mm[2], mm[0])  # (Y²−9bZ²)(Y²+3bZ²) + 24bY²Z²
+        x3 = F.double(mm[3])  # 2XY(Y²−9bZ²)
+        z3 = mm[1]  # 8Y³Z
+        return self.stack(x3, y3, z3)
 
     def neg(self, pt):
         x, y, z = self.coords(pt)
@@ -154,7 +154,4 @@ class CurveOps:
         F = self.F
         x, y, z = self.coords(pt)
         zinv = F.inv(z)
-        zinv2 = F.square(zinv)
-        ax = F.mul(x, zinv2)
-        ay = F.mul(y, F.mul(zinv, zinv2))
-        return ax, ay, F.is_zero(z)
+        return F.mul(x, zinv), F.mul(y, zinv), F.is_zero(z)

@@ -1,7 +1,7 @@
 """BN254 G1: curve instance + host-side encode/decode + small utilities.
 
-Point layout: uint32[..., 3, 16] Jacobian (X, Y, Z) over Fq in Montgomery
-form; Z == 0 encodes infinity.
+Point layout: uint32[..., 3, 16] homogeneous projective (X, Y, Z) over Fq in
+Montgomery form; infinity is (0 : 1 : 0).
 """
 
 from __future__ import annotations
@@ -28,6 +28,7 @@ def from_affine_int(pts):
     out = np.zeros((len(pts), 3, NLIMBS), dtype=np.uint32)
     for i, pt in enumerate(pts):
         if pt is None:
+            out[i, 1] = int_to_limbs(R % p)  # (0 : 1 : 0)
             continue
         x, y = pt
         out[i, 0] = int_to_limbs(x * R % p)
@@ -46,11 +47,11 @@ def to_affine_int(pt):
         x = limbs_to_int(row[0]) * rinv % p
         y = limbs_to_int(row[1]) * rinv % p
         z = limbs_to_int(row[2]) * rinv % p
-        if z == 0:
+        if z % p == 0:
             out.append(None)
             continue
         zi = pow(z, -1, p)
-        out.append((x * zi * zi % p, y * zi * zi * zi % p))
+        out.append((x * zi % p, y * zi % p))
     if np.asarray(pt).ndim == 2:
         return out[0]
     return out

