@@ -147,6 +147,35 @@ class CurveOps:
         acc, _ = jax.lax.scan(body, init, bits[::-1])
         return acc
 
+    def scalar_mul_bits_batched(self, pt, bits):
+        """Per-lane scalar mul: pt batch+(3,)+elem, bits batch+(nbits,) with
+        one scalar per batch lane.  MSB-first double-and-add scan."""
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            added = self.add(acc, pt)
+            acc = self._sel(bit.astype(bool), added, acc)
+            return acc, None
+
+        bits_t = jnp.moveaxis(bits, -1, 0)[::-1]
+        init = self.infinity(self.batch_shape(pt))
+        acc, _ = jax.lax.scan(body, init, bits_t)
+        return acc
+
+    def tree_sum(self, pts, axis: int = 0):
+        """Sum a stack of points along `axis` by halving folds."""
+        pts = jnp.moveaxis(pts, axis, 0)
+        width = pts.shape[0]
+        while width > 1:
+            half = width // 2
+            lo, hi = pts[:half], pts[half:width]
+            if lo.shape[0] != hi.shape[0]:
+                pts = jnp.concatenate([self.add(lo, hi[: lo.shape[0]]), hi[lo.shape[0] :]], 0)
+            else:
+                pts = self.add(lo, hi)
+            width = pts.shape[0]
+        return pts[0]
+
     # -------------------------------------------------------------- affine
 
     def to_affine(self, pt):

@@ -278,6 +278,13 @@ class LimbField:
         return self.from_mont(a)
 
 
+def u16_limbs_to_bits(a):
+    """(..., 16) canonical 16-bit limbs -> (..., 256) bits, little-endian."""
+    shifts = jnp.arange(W, dtype=_U32)
+    bits = (a[..., :, None] >> shifts) & _u(1)  # (..., 16, 16)
+    return bits.reshape(a.shape[:-1] + (W * NLIMBS,))
+
+
 @functools.lru_cache(maxsize=None)
 def _get(spec: FieldSpec) -> LimbField:
     return LimbField(spec)

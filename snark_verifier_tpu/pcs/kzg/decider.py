@@ -1,0 +1,33 @@
+"""KZG accumulation decider: the final pairing check
+e(lhs, g2) · e(rhs, −s·g2) == 1.
+
+Mirrors /root/reference/snark-verifier/src/pcs/kzg/decider.rs:60-80, executed
+as one batched multi-Miller-loop + final exponentiation on device; G2 line
+coefficients come precomputed from the SRS (sdk/srs.py).  decide_all is the
+same kernel with a batch prefix — the reference's serial loop (:70-80) becomes
+one vmapped pairing check (BASELINE.md: proofs verified/sec at batch 1024).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...ec.g1 import G1
+from ...pairing.pairing import pairing_check
+
+
+def decide(srs, lhs, rhs):
+    """lhs, rhs: (..., 3, 16) projective device points -> (...,) bool."""
+    lx, ly, _ = G1.to_affine(lhs)
+    rx, ry, _ = G1.to_affine(rhs)
+    xs = jnp.stack([lx, rx], axis=-2)  # (..., 2, 16)
+    ys = jnp.stack([ly, ry], axis=-2)
+    dbl, addc, has_add, finals = srs.decider_coeffs
+    return pairing_check(xs, ys, dbl, addc, has_add, finals)
+
+
+def decide_all(srs, accumulators):
+    """accumulators: list of (lhs, rhs) -> stacked batched decide."""
+    lhs = jnp.stack([a[0] for a in accumulators], 0)
+    rhs = jnp.stack([a[1] for a in accumulators], 0)
+    return decide(srs, lhs, rhs)

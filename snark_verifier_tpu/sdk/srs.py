@@ -1,0 +1,66 @@
+"""Structured reference string (KZG setup) handling.
+
+Toy trapdoor generation for tests/benches (like the reference's
+`IpaProvingKey::rand`, /root/reference/snark-verifier/src/pcs/ipa.rs:229-243)
+plus the device-side artifacts the verifier needs: the generator `g` (the
+KzgSuccinctVerifyingKey, reference pcs/kzg.rs:21-37) and the prepared pairing
+coefficients for (g2, -s_g2) (the KzgDecidingKey, pcs/kzg/decider.rs:6-36).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ..ec import py_ec
+from ..ff.spec import FR
+from ..pairing import py_pairing as pp
+
+
+@dataclass
+class Srs:
+    """KZG SRS over BN254: host-int data + lazily-built device artifacts."""
+
+    g1_powers: List  # [τ^i]·G1 affine int tuples, i = 0..n-1
+    g2: Tuple  # G2 affine (Fq2 int pair tuple)
+    s_g2: Tuple  # [τ]·G2
+
+    @property
+    def g(self):
+        return self.g1_powers[0]
+
+    @functools.cached_property
+    def g_dev(self):
+        from ..ec import from_affine_int
+
+        return from_affine_int([self.g])[0]
+
+    @functools.cached_property
+    def decider_coeffs(self):
+        """Prepared Miller-loop coefficients for (g2, -s_g2)."""
+        from ..pairing.pairing import prepare_g2_coeffs
+
+        return prepare_g2_coeffs([self.g2, pp.g2_neg(self.s_g2)])
+
+    def commit(self, coeffs: List[int]):
+        """Host commitment: Σ cᵢ·[τ^i]G1 (python ints; test/prover use)."""
+        assert len(coeffs) <= len(self.g1_powers), "poly too big for SRS"
+        return py_ec.msm(self.g1_powers[: len(coeffs)], coeffs)
+
+
+@functools.lru_cache(maxsize=None)
+def toy_srs(n: int, seed: int = 0xA11CE) -> Srs:
+    """Deterministic toy SRS with known trapdoor (tests/benches only)."""
+    import random
+
+    tau = random.Random(seed).randrange(1, FR.p)
+    powers = []
+    acc = 1
+    for _ in range(n):
+        powers.append(acc)
+        acc = acc * tau % FR.p
+    g1_powers = [py_ec.scalar_mul(py_ec.G1_GEN, p) for p in powers]
+    g2 = pp.G2_GEN
+    s_g2 = pp.g2_scalar_mul(g2, tau)
+    return Srs(g1_powers=g1_powers, g2=g2, s_g2=s_g2)

@@ -122,6 +122,18 @@ class PoseidonTranscriptPy:
         self.common_ec_point(pt)
         return pt
 
+    # prover side: absorb and record the stream (host ints)
+    def write_scalar(self, s: int):
+        self.common_scalar(s)
+        self._scalars.append(s % self.r)
+
+    def write_ec_point(self, pt):
+        self.common_ec_point(pt)
+        self._points.append(pt)
+
+    def streams(self):
+        return list(self._scalars), list(self._points)
+
 
 class PoseidonTranscriptWriter:
     """Writing transcript (prover side): absorbs and records the stream."""
