@@ -62,6 +62,19 @@ class MsmExpr:
     def __rmul__(self, scalar) -> "MsmExpr":
         return self * scalar
 
+    def size(self) -> int:
+        return len(self.pairs)
+
+    def try_constant(self):
+        """Constant scalar if no bases (zero scalar if empty), else None."""
+        if self.pairs:
+            return None
+        return self.const if self.const is not None else jnp.zeros_like(FR.one)
+
+    def split(self):
+        """(bases-only MsmExpr, constant scalar or None)."""
+        return MsmExpr(None, self.pairs), self.const
+
     @staticmethod
     def sum(exprs: List["MsmExpr"]) -> "MsmExpr":
         out = MsmExpr()

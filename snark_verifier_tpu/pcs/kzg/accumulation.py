@@ -33,31 +33,36 @@ class KzgAs:
 
     @staticmethod
     def read_proof(zk: bool, instances: List[Tuple], transcript):
-        """instances: [(lhs_affine, rhs_affine)] with (..., 2, 16) coords."""
+        """instances: [(lhs, rhs)] projective (..., 3, 16) device points."""
         assert instances
-        for lhs, rhs in instances:
-            transcript.common_ec_point(lhs)
-            transcript.common_ec_point(rhs)
+        # one batched normalization for all absorbed points
+        flat = jnp.stack([p for pair in instances for p in pair], axis=0)
+        ax, ay, _ = G1.to_affine(flat)
+        for i in range(flat.shape[0]):
+            transcript.common_ec_point(jnp.stack([ax[i], ay[i]], axis=-2))
         blind = None
         if zk:
-            blind = (transcript.read_ec_point(), transcript.read_ec_point())
+            from .multiopen import _affine_to_proj
+
+            blind = (
+                _affine_to_proj(transcript.read_ec_point()),
+                _affine_to_proj(transcript.read_ec_point()),
+            )
         r = transcript.squeeze_challenge()
         return {"blind": blind, "r": r}
 
     @staticmethod
     def verify(instances: List[Tuple], proof):
-        """Returns folded (lhs, rhs) projective device points."""
-        from .multiopen import _affine_to_proj
-
+        """Fold with powers of r; returns (lhs, rhs) projective points."""
         pairs = list(instances)
         if proof["blind"] is not None:
             pairs = pairs + [proof["blind"]]
         pow_r = powers(proof["r"], len(pairs))
         lhs = MsmExpr.sum(
-            [MsmExpr.base(_affine_to_proj(l)) * r for (l, _), r in zip(pairs, pow_r)]
+            [MsmExpr.base(l) * r for (l, _), r in zip(pairs, pow_r)]
         ).evaluate()
         rhs = MsmExpr.sum(
-            [MsmExpr.base(_affine_to_proj(rh)) * r for (_, rh), r in zip(pairs, pow_r)]
+            [MsmExpr.base(rh) * r for (_, rh), r in zip(pairs, pow_r)]
         ).evaluate()
         return lhs, rhs
 

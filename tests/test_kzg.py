@@ -106,8 +106,7 @@ def test_kzg_as_fold_roundtrip():
 
     # device verifier fold (same transcript stream: no blind, only commons)
     accs_dev = [
-        (from_affine_int([l])[0, :2, :], from_affine_int([r])[0, :2, :])
-        for l, r in accs_int
+        (from_affine_int([l])[0], from_affine_int([r])[0]) for l, r in accs_int
     ]
     td = PoseidonTranscript(
         scalars=jnp.zeros((0, 16), jnp.uint32), points=jnp.zeros((0, 2, 16), jnp.uint32)
