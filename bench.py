@@ -49,7 +49,60 @@ def gen_points(n):
     return build(offs_dev)
 
 
+def bench_verify():
+    """BENCH_MODE=verify: proofs verified/sec at batch BENCH_BATCH."""
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    import jax
+    import numpy as np_
+
+    from snark_verifier_tpu.parallel import batch_verify_sharded
+    from snark_verifier_tpu.sdk.srs import toy_srs
+    from snark_verifier_tpu.system.standard_plonk import (
+        StandardPlonk,
+        build_protocol,
+        gen_snark,
+    )
+
+    srs = toy_srs(32)
+    circuit = StandardPlonk.rand(k=3, seed=1)
+    protocol = build_protocol(circuit, srs)
+    t0 = time.time()
+    snark = gen_snark(circuit, protocol, srs, scheme="shplonk")
+    print(f"# host prove: {time.time()-t0:.1f}s", file=sys.stderr)
+    snarks = [snark] * B
+    # jitted whole-pipeline path (1-device mesh == plain batched verify)
+    mesh = jax.sharding.Mesh(np_.array(jax.devices()[:1]), ("batch",))
+
+    t0 = time.time()
+    oks = batch_verify_sharded(snarks, srs, mesh, "shplonk")
+    oks.block_until_ready()
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    ok = bool(oks.all())
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        batch_verify_sharded(snarks, srs, mesh, "shplonk").block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "plonk_proofs_verified_per_sec_batch%d" % B
+                + ("" if ok else "_INCORRECT"),
+                "value": round(B / dt, 2),
+                "unit": "proofs/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "verify":
+        bench_verify()
+        return
     log2n = int(os.environ.get("BENCH_LOG2N", "20"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     n = 1 << log2n

@@ -20,6 +20,21 @@ G1 = CurveOps(FQ_FIELD, b=BN254_B, name="bn254_g1")
 # ------------------------------------------------------------------ encoding
 
 
+def from_affine_int_np(pts):
+    """Pure-numpy variant of from_affine_int (trace-safe, cacheable)."""
+    p, R = FQ.p, 1 << 256
+    out = np.zeros((len(pts), 3, NLIMBS), dtype=np.uint32)
+    for i, pt in enumerate(pts):
+        if pt is None:
+            out[i, 1] = int_to_limbs(R % p)
+            continue
+        x, y = pt
+        out[i, 0] = int_to_limbs(x * R % p)
+        out[i, 1] = int_to_limbs(y * R % p)
+        out[i, 2] = int_to_limbs(R % p)
+    return out
+
+
 def from_affine_int(pts):
     """Host: list of affine (x, y) int tuples (None = infinity) -> device
     Jacobian array (n, 3, 16)."""

@@ -95,6 +95,7 @@ class PoseidonPy:
 
 @functools.lru_cache(maxsize=None)
 def _device_spec(t: int, r_f: int, r_p: int):
+    # pure numpy: safe to cache and to reference from inside any jit trace
     rcs, mds, is_full = get_spec(t, r_f, r_p)
     R = 1 << 256
     rc_mont = np.stack(
@@ -103,11 +104,7 @@ def _device_spec(t: int, r_f: int, r_p: int):
     mds_mont = np.stack(
         [[int_to_limbs(m * R % FR.p) for m in row] for row in mds]
     )  # (t, t, 16)
-    return (
-        jnp.asarray(rc_mont),
-        jnp.asarray(mds_mont),
-        jnp.asarray(np.array(is_full, dtype=np.bool_)),
-    )
+    return rc_mont, mds_mont, np.array(is_full, dtype=np.bool_)
 
 
 def permute(state, t: int = 3, r_f: int = 8, r_p: int = 57):

@@ -1,0 +1,69 @@
+"""Multi-chip batch verification: shard the proof batch over a mesh axis.
+
+The reference's `decide_all` loops accumulators serially on one process
+(/root/reference/snark-verifier/src/pcs/kzg/decider.rs:70-80); here the whole
+succinct-verify + decide pipeline runs data-parallel: each device verifies
+its shard of proofs (identical protocol => identical program), no collectives
+needed until results are gathered.  Composes with point-sharded MSM
+(msm_sharded.py) for the two-axis (dp x tp) layout used in __graft_entry__.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ff import FR_FIELD
+from ..pcs.kzg.decider import decide_all
+from ..sdk.aggregation import SCHEMES, _stack_instances, _stack_streams
+from ..transcript import PoseidonTranscript
+from ..verifier.plonk.verifier import PlonkSuccinctVerifier
+
+
+def batch_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
+                         scheme_name: str = "shplonk", axis_name: str = "batch"):
+    """-> (B,) bool array; B must divide by the mesh axis size."""
+    assert snarks
+    protocol = snarks[0].protocol
+    scheme = SCHEMES[scheme_name]
+    ndev = mesh.shape[axis_name]
+    B = len(snarks)
+    assert B % ndev == 0, f"batch {B} not divisible by mesh axis {ndev}"
+
+    sc, pts = _stack_streams(snarks)
+    inst_cols = _stack_instances(snarks)  # list of lists of (B,16)
+    # flatten instances to one array for sharding: (B, total, 16)
+    flat_inst = (
+        jnp.stack([v for col in inst_cols for v in col], axis=1)
+        if any(protocol.num_instance)
+        else jnp.zeros((B, 0, 16), jnp.uint32)
+    )
+
+    def local(sc_l, pts_l, inst_l):
+        Bl = sc_l.shape[0]
+        instances = []
+        k = 0
+        for ncol in protocol.num_instance:
+            instances.append([inst_l[:, k + i, :] for i in range(ncol)])
+            k += ncol
+        td = PoseidonTranscript(scalars=sc_l, points=pts_l, batch_shape=(Bl,))
+        proof = PlonkSuccinctVerifier.read_proof(protocol, instances, td, scheme)
+        accs = PlonkSuccinctVerifier.verify(
+            srs.g_dev, protocol, instances, proof, scheme
+        )
+        return decide_all(srs, accs).all(axis=0)
+
+    fn = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=P(axis_name),
+            check_vma=False,
+        )
+    )
+    return fn(sc, pts, flat_inst)

@@ -1,0 +1,99 @@
+"""Batch verification and accumulator aggregation — the TPU-idiomatic
+replacement for the reference's AggregationCircuit pipeline.
+
+The reference aggregates by re-verifying snarks *inside a halo2 circuit*
+(/root/reference/snark-verifier-sdk/src/halo2/aggregation.rs:63-142) because
+on-chain verification needs a single small proof.  On TPU the corresponding
+capability is throughput: verify N proofs in one jitted batched computation,
+fold their deferred-pairing accumulators with the KZG accumulation scheme
+(pcs/kzg/accumulation.py), and spend ONE pairing for the whole batch.
+
+  batch_verify   — vmap-style batched succinct-verify + per-proof decide
+  aggregate      — batched succinct-verify -> KzgAs fold -> one accumulator
+  aggregate_and_decide — aggregate + single pairing check
+
+All snarks in a batch must share a protocol (shape specialization, mirroring
+how the reference monomorphizes per circuit).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..ff import FR_FIELD
+from ..pcs.kzg.accumulation import KzgAs
+from ..pcs.kzg.decider import decide, decide_all
+from ..pcs.kzg.multiopen import Bdfg21, Gwc19
+from ..transcript import PoseidonTranscript
+from ..verifier.plonk.verifier import PlonkSuccinctVerifier
+from .snark import Snark
+
+SCHEMES = {"shplonk": Bdfg21, "gwc": Gwc19}
+
+
+def _stack_streams(snarks: Sequence[Snark]):
+    pairs = [s.device_streams() for s in snarks]
+    sc = jnp.stack([p[0] for p in pairs], 0)  # (B, n, 16)
+    pts = jnp.stack([p[1] for p in pairs], 0)  # (B, m, 2, 16)
+    return sc, pts
+
+
+def _stack_instances(snarks: Sequence[Snark]):
+    """-> list (per column) of lists of (B,16) device scalars."""
+    out = []
+    for col_idx, ncol in enumerate(snarks[0].protocol.num_instance):
+        col = []
+        for v_idx in range(ncol):
+            col.append(
+                FR_FIELD.from_int([s.instances[col_idx][v_idx] for s in snarks])
+            )
+        out.append(col)
+    return out
+
+
+def batch_succinct_verify(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
+    """One batched succinct verification of B same-protocol snarks.
+    Returns the list of (lhs, rhs) accumulators, each (B, 3, 16)."""
+    assert snarks
+    protocol = snarks[0].protocol
+    scheme = SCHEMES[scheme_name]
+    sc, pts = _stack_streams(snarks)
+    instances = _stack_instances(snarks)
+    td = PoseidonTranscript(scalars=sc, points=pts, batch_shape=(len(snarks),))
+    proof = PlonkSuccinctVerifier.read_proof(protocol, instances, td, scheme)
+    return PlonkSuccinctVerifier.verify(srs.g_dev, protocol, instances, proof, scheme)
+
+
+def batch_verify(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
+    """-> (B,) bool array: per-proof full verification (succinct + decide)."""
+    accs = batch_succinct_verify(snarks, srs, scheme_name)
+    oks = decide_all(srs, accs)  # (num_accs, B)
+    return oks.all(axis=0)
+
+
+def aggregate(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
+    """Fold all batch accumulators into one deferred pairing pair.
+
+    The fold transcript absorbs every accumulator (per reference
+    accumulation.rs:123-127), with the batch laid out along the instance
+    axis so one squeeze yields the per-fold challenge."""
+    accs = batch_succinct_verify(snarks, srs, scheme_name)
+    # flatten: B proofs x num_accs accumulators -> list of (3,16) pairs
+    flat: List[Tuple] = []
+    B = len(snarks)
+    for lhs, rhs in accs:
+        for b in range(B):
+            flat.append((lhs[b], rhs[b]))
+    td = PoseidonTranscript(
+        scalars=jnp.zeros((0, 16), jnp.uint32),
+        points=jnp.zeros((0, 2, 16), jnp.uint32),
+    )
+    proof = KzgAs.read_proof(False, flat, td)
+    return KzgAs.verify(flat, proof)
+
+
+def aggregate_and_decide(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
+    lhs, rhs = aggregate(snarks, srs, scheme_name)
+    return decide(srs, lhs, rhs)

@@ -1,0 +1,107 @@
+"""Snark container + (de)serialization + dummy-snark generation.
+
+Mirrors the reference SDK's `Snark {protocol, instances, proof}`
+(/root/reference/snark-verifier-sdk/src/lib.rs:46-60) and `gen_dummy_snark`
+(snark-verifier-sdk/src/halo2.rs:272-357): a structurally-correct fake proof
+(right number of points/scalars) built from the protocol alone, used for
+shape-specialized compilation without real proving.
+
+Proof representation: pre-parsed transcript streams (scalars, affine points)
+— the host-side analogue of the reference's raw proof bytes; byte-level
+codecs live in sdk/proof_io.py.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ..ec import py_ec
+from ..ff.spec import FR
+from ..verifier.plonk.protocol import PlonkProtocol
+
+
+@dataclass
+class Snark:
+    protocol: PlonkProtocol
+    instances: List[List[int]]
+    scalars: List[int]  # proof scalar stream (transcript order)
+    points: List[Tuple[int, int]]  # proof point stream (affine)
+
+    def to_json(self) -> dict:
+        return {
+            "protocol": self.protocol.to_json(),
+            "instances": [[hex(v) for v in col] for col in self.instances],
+            "scalars": [hex(s) for s in self.scalars],
+            "points": [[hex(x), hex(y)] for x, y in self.points],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snark":
+        toint = lambda v: int(v, 16)
+        return Snark(
+            protocol=PlonkProtocol.from_json(d["protocol"]),
+            instances=[[toint(v) for v in col] for col in d["instances"]],
+            scalars=[toint(s) for s in d["scalars"]],
+            points=[(toint(x), toint(y)) for x, y in d["points"]],
+        )
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f)
+
+    @staticmethod
+    def load(path: str) -> "Snark":
+        with open(path) as f:
+            return Snark.from_json(json.load(f))
+
+    def device_streams(self):
+        """-> (scalars (n,16), points (m,2,16)) device arrays."""
+        import jax.numpy as jnp
+
+        from ..ec import from_affine_int
+        from ..ff import FR_FIELD
+
+        sc = (
+            jnp.stack([FR_FIELD.from_int(s) for s in self.scalars], 0)
+            if self.scalars
+            else jnp.zeros((0, 16), "uint32")
+        )
+        pts = (
+            from_affine_int(self.points)[:, :2, :]
+            if self.points
+            else jnp.zeros((0, 2, 16), "uint32")
+        )
+        return sc, pts
+
+
+def proof_shape(protocol: PlonkProtocol, scheme_name: str) -> Tuple[int, int]:
+    """(num_scalars, num_points) of a proof stream for this protocol+scheme."""
+    from ..pcs.kzg.multiopen import gwc_query_sets
+    from ..verifier.plonk.verifier import PlonkProof
+
+    n_points = sum(protocol.num_witness) + protocol.quotient.num_chunk()
+    n_scalars = len(protocol.evaluations)
+    if scheme_name == "gwc":
+        n_points += len(gwc_query_sets(PlonkProof.empty_queries(protocol)))
+    else:  # shplonk: W and W'
+        n_points += 2
+    return n_scalars, n_points
+
+
+def gen_dummy_snark(
+    protocol: PlonkProtocol, scheme_name: str = "shplonk", seed: int = 0
+) -> Snark:
+    """Structurally-correct random snark (verification will FAIL, but shapes,
+    transcript walk, and compilation match real proofs)."""
+    rng = random.Random(seed)
+    n_scalars, n_points = proof_shape(protocol, scheme_name)
+    pts = py_ec.rand_points(n_points, seed=seed + 1)
+    return Snark(
+        protocol=protocol,
+        instances=[[rng.randrange(FR.p) for _ in range(n)] for n in protocol.num_instance],
+        scalars=[rng.randrange(FR.p) for _ in range(n_scalars)],
+        points=pts,
+    )

@@ -32,9 +32,10 @@ class Srs:
 
     @functools.cached_property
     def g_dev(self):
-        from ..ec import from_affine_int
+        from ..ec.g1 import from_affine_int_np
 
-        return from_affine_int([self.g])[0]
+        # numpy (not jnp): cached values must be trace-safe
+        return from_affine_int_np([self.g])[0]
 
     @functools.cached_property
     def decider_coeffs(self):
@@ -44,8 +45,12 @@ class Srs:
         return prepare_g2_coeffs([self.g2, pp.g2_neg(self.s_g2)])
 
     def commit(self, coeffs: List[int]):
-        """Host commitment: Σ cᵢ·[τ^i]G1 (python ints; test/prover use)."""
+        """Host commitment: Σ cᵢ·[τ^i]G1 (native C++ MSM when available)."""
         assert len(coeffs) <= len(self.g1_powers), "poly too big for SRS"
+        from ..utils import native
+
+        if native.available() and len(coeffs) > 4:
+            return native.msm(self.g1_powers[: len(coeffs)], coeffs)
         return py_ec.msm(self.g1_powers[: len(coeffs)], coeffs)
 
 
@@ -55,12 +60,14 @@ def toy_srs(n: int, seed: int = 0xA11CE) -> Srs:
     import random
 
     tau = random.Random(seed).randrange(1, FR.p)
-    powers = []
-    acc = 1
-    for _ in range(n):
-        powers.append(acc)
-        acc = acc * tau % FR.p
-    g1_powers = [py_ec.scalar_mul(py_ec.G1_GEN, p) for p in powers]
+    from ..utils import native
+
+    if native.available():
+        g1_powers = native.srs_powers(py_ec.G1_GEN, tau, n)
+    else:
+        g1_powers = [
+            py_ec.scalar_mul(py_ec.G1_GEN, pow(tau, i, FR.p)) for i in range(n)
+        ]
     g2 = pp.G2_GEN
     s_g2 = pp.g2_scalar_mul(g2, tau)
     return Srs(g1_powers=g1_powers, g2=g2, s_g2=s_g2)

@@ -153,8 +153,10 @@ def _poly_from_evals(evals: List[int], domain: Domain) -> List[int]:
     return coeffs
 
 
-def prove(circuit: StandardPlonk, protocol: PlonkProtocol, srs, scheme: str = "shplonk"):
-    """Host prover.  Returns (scalars, points) transcript streams."""
+def prove(circuit: StandardPlonk, protocol: PlonkProtocol, srs,
+          scheme: str = "shplonk", transcript=None):
+    """Host prover.  Returns (scalars, points) transcript streams.  Pass an
+    EvmTranscriptPy to produce keccak-transcript proofs."""
     from ..pcs.kzg.multiopen import Query as PcsQuery
     from ..pcs.kzg.prover_py import gwc_open, shplonk_open
 
@@ -167,7 +169,7 @@ def prove(circuit: StandardPlonk, protocol: PlonkProtocol, srs, scheme: str = "s
     inst_poly = _poly_from_evals(inst_padded, domain)
     wit_polys = [_poly_from_evals(c, domain) for c in [circuit.a, circuit.b, circuit.c]]
 
-    t = PoseidonTranscriptPy()
+    t = transcript if transcript is not None else PoseidonTranscriptPy()
     if protocol.transcript_initial_state is not None:
         t.common_scalar(protocol.transcript_initial_state)
     for v in circuit.instance:
@@ -227,6 +229,21 @@ def prove(circuit: StandardPlonk, protocol: PlonkProtocol, srs, scheme: str = "s
     opener(srs, poly_list, pcs_queries, z, t)
 
     return t.streams()
+
+
+def gen_snark(circuit: StandardPlonk, protocol: PlonkProtocol, srs,
+              scheme: str = "shplonk"):
+    """Prove and package as an sdk.Snark (reference gen_snark_{gwc,shplonk},
+    snark-verifier-sdk/src/halo2.rs:178-260)."""
+    from ..sdk.snark import Snark
+
+    scalars, points = prove(circuit, protocol, srs, scheme=scheme)
+    return Snark(
+        protocol=protocol,
+        instances=[list(circuit.instance)],
+        scalars=scalars,
+        points=points,
+    )
 
 
 def _rotate_poly(poly: List[int], rotation: int, domain: Domain) -> List[int]:

@@ -1,0 +1,118 @@
+"""ctypes bindings for the native C++ BN254 core (csrc/bn254.cpp).
+
+Builds the shared library on first use (g++, cached as csrc/libbn254.so).
+Used for fast host-side SRS generation / commitments / MSM and as an
+independent oracle; falls back cleanly if no compiler is available
+(`available()` returns False and callers use the python-int paths).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ff.spec import FQ, FR
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB = os.path.join(_CSRC, "libbn254.so")
+
+
+def _limbs64(x: int) -> np.ndarray:
+    return np.array([(x >> (64 * i)) & ((1 << 64) - 1) for i in range(4)], np.uint64)
+
+
+def _from64(a) -> int:
+    return sum(int(v) << (64 * i) for i, v in enumerate(a))
+
+
+@functools.lru_cache(maxsize=1)
+def _load() -> Optional[ctypes.CDLL]:
+    try:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+            os.path.join(_CSRC, "bn254.cpp")
+        ):
+            subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB)
+    except Exception:
+        return None
+    R = 1 << 256
+
+    def mont_params(p):
+        r2 = _limbs64(R * R % p)
+        ninv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+        one = _limbs64(R % p)
+        return _limbs64(p), r2, ninv, one
+
+    qp, qr2, qninv, qone = mont_params(FQ.p)
+    rp, rr2, rninv, rone = mont_params(FR.p)
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+    lib.bn254_init.argtypes = [u64p, u64p, ctypes.c_uint64, u64p] * 2
+    lib.bn254_init(qp, qr2, qninv, qone, rp, rr2, rninv, rone)
+    lib.bn254_msm.argtypes = [u64p, u64p, ctypes.c_long, u64p]
+    lib.bn254_scalar_mul.argtypes = [u64p, u64p, u64p]
+    lib.bn254_srs_powers.argtypes = [u64p, u64p, ctypes.c_long, u64p]
+    lib.bn254_fe_mul_batch.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
+    lib.bn254_fe_inv_batch.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _enc_point(pt) -> np.ndarray:
+    """affine int tuple (or None) -> 12 u64 Montgomery projective limbs."""
+    R = 1 << 256
+    out = np.zeros(12, np.uint64)
+    if pt is None:
+        out[4:8] = _limbs64(R % FQ.p)  # (0:1:0)
+        return out
+    out[0:4] = _limbs64(pt[0] * R % FQ.p)
+    out[4:8] = _limbs64(pt[1] * R % FQ.p)
+    out[8:12] = _limbs64(R % FQ.p)
+    return out
+
+
+def _dec_point(buf) -> Optional[Tuple[int, int]]:
+    Rinv = pow(1 << 256, -1, FQ.p)
+    x = _from64(buf[0:4]) * Rinv % FQ.p
+    y = _from64(buf[4:8]) * Rinv % FQ.p
+    z = _from64(buf[8:12]) * Rinv % FQ.p
+    if z == 0:
+        return None
+    zi = pow(z, -1, FQ.p)
+    return (x * zi % FQ.p, y * zi % FQ.p)
+
+
+def msm(points: List, scalars: List[int]):
+    """Native Pippenger MSM over affine int points; returns affine tuple."""
+    lib = _load()
+    assert lib is not None
+    n = len(points)
+    pts = np.concatenate([_enc_point(p) for p in points])
+    scs = np.concatenate([_limbs64(int(s) % FR.p) for s in scalars])
+    out = np.zeros(12, np.uint64)
+    lib.bn254_msm(np.ascontiguousarray(pts), np.ascontiguousarray(scs), n, out)
+    return _dec_point(out)
+
+
+def scalar_mul(point, k: int):
+    lib = _load()
+    assert lib is not None
+    out = np.zeros(12, np.uint64)
+    lib.bn254_scalar_mul(_enc_point(point), _limbs64(int(k) % FR.p), out)
+    return _dec_point(out)
+
+
+def srs_powers(g, tau: int, n: int) -> List:
+    """[tau^i]G for i in 0..n-1."""
+    lib = _load()
+    assert lib is not None
+    out = np.zeros(12 * n, np.uint64)
+    lib.bn254_srs_powers(_enc_point(g), _limbs64(tau % FR.p), n, out)
+    return [_dec_point(out[12 * i : 12 * (i + 1)]) for i in range(n)]

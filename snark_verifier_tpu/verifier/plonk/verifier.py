@@ -71,16 +71,16 @@ class PlonkProof:
         committed_instances = None
         if protocol.instance_committing_key is not None:
             ick = protocol.instance_committing_key
-            from ...ec.g1 import from_affine_int
+            from ...ec.g1 import from_affine_int_np
 
-            bases = [from_affine_int([b])[0] for b in ick["bases"]]
+            bases = [from_affine_int_np([b])[0] for b in ick["bases"]]
             committed_instances = []
             for cols in instances:
                 expr = MsmExpr.sum(
                     [MsmExpr.base(b) * s for s, b in zip(cols, bases)]
                 )
                 if ick.get("constant") is not None:
-                    expr = expr + MsmExpr.base(from_affine_int([ick["constant"]])[0])
+                    expr = expr + MsmExpr.base(from_affine_int_np([ick["constant"]])[0])
                 pt = expr.evaluate()
                 committed_instances.append(pt)
                 from ...ec.g1 import G1
@@ -161,10 +161,10 @@ class PlonkProof:
     def commitments(self, protocol, cpe, evaluations: Dict) -> List[MsmExpr]:
         """Linearization Msm assembly (proof.rs:179-281)."""
         comms: List[MsmExpr] = []
-        from ...ec.g1 import from_affine_int
+        from ...ec.g1 import from_affine_int_np
 
         for pt in protocol.preprocessed:
-            comms.append(MsmExpr.base(from_affine_int([pt])[0]))
+            comms.append(MsmExpr.base(from_affine_int_np([pt])[0]))
         if self.committed_instances is not None:
             comms.extend(MsmExpr.base(p) for p in self.committed_instances)
         else:

@@ -1,0 +1,102 @@
+"""Batch verification + accumulator aggregation (SURVEY.md §7 stages 6/8;
+BASELINE configs #3/#4 shape at test scale)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from snark_verifier_tpu.ff.spec import FR
+from snark_verifier_tpu.pcs.kzg.decider import decide
+from snark_verifier_tpu.sdk.aggregation import (
+    aggregate,
+    aggregate_and_decide,
+    batch_verify,
+)
+from snark_verifier_tpu.sdk.snark import Snark, gen_dummy_snark, proof_shape
+from snark_verifier_tpu.sdk.srs import toy_srs
+from snark_verifier_tpu.system.standard_plonk import (
+    StandardPlonk,
+    build_protocol,
+    gen_snark,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    srs = toy_srs(32)
+    # one shared circuit STRUCTURE (fixed columns define the protocol), so all
+    # snarks share a protocol: same seed => same fixed cols; instances differ.
+    snarks = []
+    base = StandardPlonk.rand(k=3, seed=42)
+    protocol = build_protocol(base, srs)
+    for i in range(4):
+        c = StandardPlonk.rand(k=3, seed=42)
+        # re-randomize witness/instance while keeping fixed columns: rebuild
+        # with a different instance by re-solving c for a new instance value
+        c.instance = [(c.instance[0] + i * 7) % FR.p]
+        n = 1 << c.k
+        inst_padded = c.instance + [0] * (n - 1)
+        for row in range(n):
+            acc = (
+                c.q_a[row] * c.a[row]
+                + c.q_b[row] * c.b[row]
+                + c.q_ab[row] * c.a[row] * c.b[row]
+                + c.q_const[row]
+                + inst_padded[row]
+                + c.q_rot[row] * c.a[(row + 1) % n]
+            ) % FR.p
+            c.c[row] = (-acc) * pow(c.q_c[row], -1, FR.p) % FR.p
+        snarks.append(gen_snark(c, protocol, srs, scheme="shplonk"))
+    return srs, protocol, snarks
+
+
+def test_batch_verify_mixed_validity(setup):
+    srs, protocol, snarks = setup
+    bad = Snark(
+        protocol=protocol,
+        instances=[[(snarks[3].instances[0][0] + 1) % FR.p]],
+        scalars=snarks[3].scalars,
+        points=snarks[3].points,
+    )
+    batch = snarks[:3] + [bad]
+    oks = batch_verify(batch, srs, "shplonk")
+    assert [bool(v) for v in oks] == [True, True, True, False]
+
+
+def test_aggregate_valid_batch_decides(setup):
+    srs, protocol, snarks = setup
+    lhs, rhs = aggregate(snarks, srs, "shplonk")
+    assert lhs.shape == (3, 16)
+    assert bool(jax.jit(lambda l, r: decide(srs, l, r))(lhs, rhs))
+
+
+def test_aggregate_with_invalid_member_fails(setup):
+    srs, protocol, snarks = setup
+    bad = Snark(
+        protocol=protocol,
+        instances=[[(snarks[0].instances[0][0] + 1) % FR.p]],
+        scalars=snarks[0].scalars,
+        points=snarks[0].points,
+    )
+    ok = aggregate_and_decide(snarks[:2] + [bad], srs, "shplonk")
+    assert not bool(ok)
+
+
+def test_snark_json_roundtrip(setup):
+    srs, protocol, snarks = setup
+    j = snarks[0].to_json()
+    s2 = Snark.from_json(j)
+    assert s2.scalars == snarks[0].scalars
+    assert s2.points == snarks[0].points
+    assert s2.instances == snarks[0].instances
+
+
+def test_dummy_snark_shape(setup):
+    srs, protocol, snarks = setup
+    dummy = gen_dummy_snark(protocol, "shplonk", seed=9)
+    assert len(dummy.scalars) == len(snarks[0].scalars)
+    assert len(dummy.points) == len(snarks[0].points)
+    assert proof_shape(protocol, "shplonk") == (
+        len(snarks[0].scalars),
+        len(snarks[0].points),
+    )
