@@ -25,8 +25,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def gen_points(n):
-    """[1..n]·G on device: log-depth ladder, arr_{k+1} = arr_k ++ (arr_k + [2^k]G)."""
+    """[1..n]·G: native C++ enumeration when available (seconds), else an
+    on-device log-depth doubling ladder."""
     from snark_verifier_tpu.ec import G1, generator, py_ec, from_affine_int
+    from snark_verifier_tpu.utils import native
+
+    if native.available():
+        return jnp.asarray(native.enumerate_points_dev(n))
 
     levels = int(np.log2(n))
     assert 1 << levels == n, "n must be a power of two"
@@ -109,7 +114,11 @@ def main():
 
     from snark_verifier_tpu.ec import G1, generator, to_affine_int, py_ec
     from snark_verifier_tpu.ff.spec import FR, int_to_limbs
-    from snark_verifier_tpu.msm import msm
+    from snark_verifier_tpu.msm import msm, msm_rns
+
+    backend = os.environ.get("BENCH_BACKEND", "rns")
+    c_bits = int(os.environ.get("BENCH_C", "8"))
+    kernel = msm_rns if backend == "rns" else msm
 
     t0 = time.time()
     points = gen_points(n)
@@ -120,16 +129,23 @@ def main():
     ks = [int.from_bytes(rng.bytes(32), "little") % FR.p for i in range(n)]
     scalars = jnp.asarray(np.stack([int_to_limbs(k) for k in ks]))
 
+    def _sync(x):
+        # block_until_ready returns early through the axon tunnel; a
+        # device_get of one element is the only reliable barrier.
+        np.asarray(jax.device_get(x.ravel()[:1]))
+
+    import jax
+
     t0 = time.time()
-    out, ovf = msm(points, scalars)
-    out.block_until_ready()
+    out, ovf = kernel(points, scalars, c=c_bits)
+    _sync(out)
     print(f"# msm compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        out, ovf = msm(points, scalars)
-        out.block_until_ready()
+        out, ovf = kernel(points, scalars, c=c_bits)
+        _sync(out)
         times.append(time.time() - t0)
     dt = min(times)
 

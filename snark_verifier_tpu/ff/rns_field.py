@@ -30,6 +30,7 @@ from .rns_spec import K, MR, NRES, RnsSpec, spec_for
 from .spec import NLIMBS, FieldSpec
 
 _U32 = jnp.uint32
+_U16 = jnp.uint16
 _MASK16 = _U32(0xFFFF)
 
 
@@ -57,37 +58,45 @@ def _pack_rhs(T: np.ndarray) -> np.ndarray:
 
 
 class RnsField:
-    """Field ops over (..., 35)-uint32 RNS residue arrays (M-Montgomery form)."""
+    """Field ops over (..., 35) RNS residue arrays (M-Montgomery form).
+
+    Storage dtype is uint16 (residues are < 2^16 by invariant): at MSM scale
+    the arrays are HBM-resident and bytes are the bottleneck.  Compute
+    happens in uint32 (products need 32 bits); the boundary converts fuse
+    away inside XLA kernels."""
 
     def __init__(self, spec: FieldSpec):
         self.fspec = spec
         s: RnsSpec = spec_for(spec)
         self.rspec = s
-        self.MODS = jnp.asarray(s.mods)  # (35,)
-        self.CS = jnp.asarray(s.cs)  # (35,)
-        self.SIGMA_C = jnp.asarray(s.sigma_c)  # (17,) A
-        self.P_B = jnp.asarray(s.p_mod[K : 2 * K + 1])  # (18,) B∪r
-        self.MINV_B = jnp.asarray(s.minv_b)  # (18,)
-        self.SIGMA2_C = jnp.asarray(s.sigma2_c)  # (17,) B
-        self.M2_MOD_A = jnp.asarray(s.m2_mod_a[:K])  # (17,)
-        self.M2INV_R = _U32(s.m2inv_r)
-        self.RHS_AB = jnp.asarray(_pack_rhs(s.T_ab))  # (34, 72)
-        self.RHS_BA = jnp.asarray(_pack_rhs(s.T_ba))  # (34, 72)
-        self.RHS_LIMBS = jnp.asarray(_pack_rhs(s.pow_limbs))  # (32, 140)
-        self.TO_RNS = jnp.asarray(s.to_rns_const)  # (35,)
-        self.FROM_RNS = jnp.asarray(s.from_rns_const)  # (35,)
-        self.one = jnp.asarray(s.one_m)  # M mod p: "1" in M-form
-        self.zero = jnp.zeros((NRES,), _U32)
+        # All constants are NUMPY arrays on purpose: this singleton may be
+        # first constructed inside a jit trace, and any jnp op here would
+        # produce tracers that the lru_cache then leaks across traces.
+        self.MODS = np.asarray(s.mods)  # (35,)
+        self.CS = np.asarray(s.cs)  # (35,)
+        self.SIGMA_C = np.asarray(s.sigma_c)  # (17,) A
+        self.P_B = np.asarray(s.p_mod[K : 2 * K + 1])  # (18,) B∪r
+        self.MINV_B = np.asarray(s.minv_b)  # (18,)
+        self.SIGMA2_C = np.asarray(s.sigma2_c)  # (17,) B
+        self.M2_MOD_A = np.asarray(s.m2_mod_a[:K])  # (17,)
+        self.M2INV_R = np.uint32(s.m2inv_r)
+        self.RHS_AB = _pack_rhs(s.T_ab)  # (34, 72)
+        self.RHS_BA = _pack_rhs(s.T_ba)  # (34, 72)
+        self.RHS_LIMBS = _pack_rhs(s.pow_limbs)  # (32, 140)
+        self.TO_RNS = np.asarray(s.to_rns_const)  # (35,)
+        self.FROM_RNS = np.asarray(s.from_rns_const)  # (35,)
+        self.one = np.asarray(s.one_m, dtype=np.uint16)  # M mod p: M-form "1"
+        self.zero = np.zeros((NRES,), np.uint16)
         # positional reconstruction constants
-        self.RHS_REC = jnp.asarray(_pack_rhs(s.m2_over))  # rows: B lanes, cols: limbs
-        self.M2_LIMBS = jnp.asarray(s.m2_limbs)  # (17,)
+        self.RHS_REC = _pack_rhs(s.m2_over)  # rows: B lanes, cols: limbs
+        self.M2_LIMBS = np.asarray(s.m2_limbs)  # (17,)
         # k*p as 18 16-bit limbs, for the final conditional subtracts
         # (handles values up to 2048p — see the bound analysis in mul/sub)
         kp = []
         for sh in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
             v = sh * spec.p
             kp.append([(v >> (16 * l)) & 0xFFFF for l in range(18)])
-        self.KP_LIMBS = jnp.asarray(np.array(kp, dtype=np.uint32))  # (5, 18)
+        self.KP_LIMBS = np.array(kp, dtype=np.uint32)
 
     # ------------------------------------------------------------- primitives
 
@@ -102,7 +111,7 @@ class RnsField:
         return jnp.where(t >= mods, t - mods, t)
 
     def _modmul(self, x, y, mods, cs):
-        return self._fold(x * y, mods, cs)
+        return self._fold(x.astype(_U32) * y.astype(_U32), mods, cs)
 
     def _ext(self, sigma, rhs, mods, cs):
         """Base extension Σ_i sigma_i * T[i,j] mod m_j as one uint8 matmul.
@@ -132,8 +141,8 @@ class RnsField:
 
     def add(self, a, b):
         """Value bound: bound(a) + bound(b)."""
-        t = a + b
-        return jnp.where(t >= self.MODS, t - self.MODS, t)
+        t = a.astype(_U32) + b.astype(_U32)
+        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(_U16)
 
     def sub(self, a, b, k_p: int = 1024):
         """a - b + k_p * p (residue-exact; value bound: bound(a) + k_p*p).
@@ -142,9 +151,9 @@ class RnsField:
         fixed point (~920p).  tests/test_rns.py replays the formulas over
         bounds to prove closure."""
         kp = self._kp_res(k_p)
-        t = a + kp + (self.MODS - b)  # < 3 * 2^16
+        t = a.astype(_U32) + kp + (self.MODS - b.astype(_U32))  # < 3 * 2^16
         t = jnp.where(t >= self.MODS, t - self.MODS, t)
-        return jnp.where(t >= self.MODS, t - self.MODS, t)
+        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(_U16)
 
     @functools.lru_cache(maxsize=None)
     def _kp_res(self, k_p: int):
@@ -155,8 +164,8 @@ class RnsField:
 
     def neg(self, a, k_p: int = 1024):
         kp = self._kp_res(k_p)
-        t = kp + (self.MODS - a)
-        return jnp.where(t >= self.MODS, t - self.MODS, t)
+        t = kp + (self.MODS - a.astype(_U32))
+        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(_U16)
 
     def mul_small(self, a, k: int):
         if k == 0:
@@ -175,6 +184,7 @@ class RnsField:
         a*b < M*(M2 - 17p)); output value < a*b/M + 17p — i.e. < 18p for any
         sane inputs.  Residues strictly reduced."""
         MODS, CS = self.MODS, self.CS
+        a, b = a.astype(_U32), b.astype(_U32)
         d = self._modmul(a, b, MODS, CS)  # (..., 35)
         d_a, d_br = d[..., :K], d[..., K:]
         mods_a, cs_a = MODS[:K], CS[:K]
@@ -200,7 +210,7 @@ class RnsField:
         corr = self._fold(beta[..., None] * self.M2_MOD_A, MODS[:K], CS[:K])
         t = e_a + (MODS[:K] - corr)
         r_a = jnp.where(t >= MODS[:K], t - MODS[:K], t)
-        return jnp.concatenate([r_a, r_br], axis=-1)
+        return jnp.concatenate([r_a, r_br], axis=-1).astype(_U16)
 
     def square(self, a):
         return self.mul(a, a)
@@ -244,13 +254,13 @@ class RnsField:
         """Positional Montgomery limbs (..., 16) u32 (value x*R mod p, from
         ff/jnp_field.py — must be canonical/reduced < 2p) -> RNS M-form
         residues of x*M (value < 18p)."""
-        res = self._ext(limbs, self.RHS_LIMBS, self.MODS, self.CS)  # v = xR
-        return self.mul(res, self.TO_RNS)  # * M^2 R^{-1} / M = x*M
+        res = self._ext(limbs.astype(_U32), self.RHS_LIMBS, self.MODS, self.CS)
+        return self.mul(res, self.TO_RNS)  # v = xR; * M^2 R^{-1} / M = x*M
 
     def to_limbs(self, a):
         """RNS M-form (value x*M mod p, bound < ~2^20 p) -> canonical
         positional Montgomery limbs (..., 16) holding x*R mod p, < p."""
-        y = self.mul(a, self.FROM_RNS)  # residues of value x*R, < ~20p
+        y = self.mul(a, self.FROM_RNS).astype(_U32)  # value x*R, < ~20p
         # σ'_j = y_j * (M2/m'_j)^{-1} mod m'_j over base B
         mods_b, cs_b = self.MODS[K : 2 * K], self.CS[K : 2 * K]
         sigma2 = self._modmul(y[..., K : 2 * K], self.SIGMA2_C, mods_b, cs_b)
@@ -322,17 +332,17 @@ class RnsField:
             return jnp.asarray(
                 np.array(
                     [[v % int(m) for m in self.rspec.mods] for v in vals],
-                    dtype=np.uint32,
+                    dtype=np.uint16,
                 )
             )
         v = (int(x) % p) * self.rspec.M % p
         return jnp.asarray(
-            np.array([v % int(m) for m in self.rspec.mods], dtype=np.uint32)
+            np.array([v % int(m) for m in self.rspec.mods], dtype=np.uint16)
         )
 
     def to_int(self, a):
         """Host: RNS array -> python ints (CRT over base A, then /M mod p)."""
-        arr = np.asarray(a).astype(object)
+        arr = np.asarray(a).astype(np.uint32).astype(object)
         p, M = self.rspec.p, self.rspec.M
         minv = pow(M, -1, p)
         mods = [int(m) for m in self.rspec.mods[:K]]

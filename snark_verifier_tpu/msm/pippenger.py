@@ -3,23 +3,31 @@
 The reference's Pippenger (/root/reference/snark-verifier/src/util/msm.rs:
 238-317) uses data-dependent bucket scatter + rayon chunk splitting — neither
 maps to a SIMD machine.  This design keeps the window/bucket *semantics* but
-executes them as three fully-static phases:
+executes them as fully-static phases:
 
-  1. bucket accumulation, scanned over the 32 windows (bounds peak memory):
+  1. bucket accumulation, scanned over windows (bounds peak memory):
      digit extraction -> argsort -> rank-in-bucket from searchsorted
-     boundaries -> scatter point indices into a (256, capacity) matrix
+     boundaries -> scatter point indices into a (buckets, capacity) matrix
      (unique slots: no scatter conflicts) -> gather -> halving tree-fold
-     along the capacity axis (log2(capacity) batched complete EC adds).
-  2. weighted bucket reduction Σ b·B_b: the classic running-sum pair scan
-     (reference msm.rs:277-281), but vectorized across all 32 windows at
-     once — 255 sequential steps of 32-lane adds, one jaxpr instance.
-  3. Horner window combine: 8 doublings + 1 add per window, scanned.
+     along the capacity axis (works for any capacity, not just powers of
+     two — a tight capacity means ~mean+8*sqrt(mean) adds per bucket
+     instead of 2x mean).
+  2. weighted bucket reduction Σ b·B_b = Σ_b SuffixSum_b: a log-depth
+     suffix associative_scan over the bucket axis + tree sum (the
+     parallel-prefix form of the reference's running-sum pair, msm.rs:
+     277-281), vectorized across all windows.
+  3. Horner window combine: c doublings + 1 add per window, scanned.
+
+Two coordinate backends share the engine:
+  * positional (ec/g1.py, 16x16-bit limbs, CIOS core)
+  * RNS (ec/rns_g1.py, 35 uint16 residues, MXU base extension) — ~2x faster
+    per EC add and the default for large n.
 
 All shapes are static: `capacity` bounds points per bucket.  Random
-(transcript-derived) scalars distribute uniformly, so capacity = 2x mean is
-astronomically safe; adversarial scalar sets can overflow a bucket, which we
-*detect* (overflow flag output) rather than silently drop — `msm_checked`
-retries with a larger capacity.
+(transcript-derived) scalars distribute uniformly, so capacity = mean +
+8*sqrt(mean) + 16 makes overflow ~1e-9 per MSM; adversarial scalar sets can
+overflow a bucket, which we *detect* (overflow flag output) rather than
+silently drop — `msm_checked` retries with a larger capacity.
 
 Multi-chip scaling (parallel/msm_sharded.py) uses MSM's linearity: shard the
 point axis, run this kernel per device, tree-add the per-device results.
@@ -36,119 +44,247 @@ import numpy as np
 
 from ..ec.g1 import G1
 
-C_BITS = 8  # window size; 8 divides the 16-bit limb width -> cheap extraction
-N_WINDOWS = 256 // C_BITS  # 32 windows covers the full 256-bit scalar range
-N_BUCKETS = 1 << C_BITS
+C_BITS = 8  # default window size for the positional backend
+SCALAR_BITS = 256
 
 
-def default_capacity(n: int) -> int:
-    """Static per-bucket capacity, pow2.  Bucket loads for uniform digits are
-    ~Poisson(mean), so mean + 8*sqrt(mean) + 16 makes overflow astronomically
-    unlikely across all 32*255 buckets; `msm` still flags it if it happens."""
-    mean = max(1, n // N_BUCKETS)
-    want = min(n, int(mean + 8 * mean**0.5 + 16))
-    cap = 8
-    while cap < want:
-        cap *= 2
-    return cap
+def n_windows(c: int) -> int:
+    return (SCALAR_BITS + c - 1) // c
 
 
-# Fr < 2^254, so the top byte of a uniform scalar only spans [0, p>>248]:
-# the top window's buckets carry ~n/49 points each, not ~n/256.
-_TOP_RANGE = 49
+def default_capacity(n: int, n_buckets: int = 1 << C_BITS) -> int:
+    """Static per-bucket capacity.  Bucket loads for uniform digits are
+    ~Poisson(mean), so mean + 8*sqrt(mean) + 16 makes overflow ~1e-9 across
+    all windows*buckets buckets; `msm` still flags it if it happens."""
+    mean = max(1, n // n_buckets)
+    return min(n, int(mean + 8 * mean**0.5 + 16))
 
 
-def top_capacity(n: int) -> int:
-    """Capacity for the skewed most-significant window."""
-    mean = max(1, n // _TOP_RANGE)
-    want = min(n, int(mean + 8 * mean**0.5 + 16))
-    cap = 8
-    while cap < want:
-        cap *= 2
-    return cap
+def top_range(c: int) -> int:
+    """Digit range of the most-significant window: Fr < 2^254 concentrates
+    the top digits (e.g. [0, 48] for c=8)."""
+    from ..ff.spec import FR
+
+    top_shift = c * (n_windows(c) - 1)
+    return (FR.p >> top_shift) + 1
 
 
-def extract_digits(scalars_u16):
-    """(n,16) canonical 16-bit limbs -> (N_WINDOWS, n) int32 digits."""
+def top_capacity(n: int, c: int) -> int:
+    """Capacity for the top window.  Covers BOTH uniform-mod-p scalars
+    (density 2^shift/p per digit) and `uniform-256-bit mod p` sampling,
+    whose wraparound makes low digits ceil(2^256/p)/2^(256-shift) dense
+    (~6/256 for BN254 c=8 — 15% above the naive n/49 estimate)."""
+    from ..ff.spec import FR
+
+    shift = c * (n_windows(c) - 1)
+    wraps = -(-(1 << 256) // FR.p)  # ceil
+    mean = max(1, n * wraps * (1 << shift) >> 256)
+    return min(n, int(mean + 8 * mean**0.5 + 16))
+
+
+def extract_digits(scalars_u16, c: int):
+    """(n,16) canonical 16-bit limbs -> (W, n) int32 c-bit digits."""
     outs = []
-    for w in range(N_WINDOWS):
-        limb = scalars_u16[:, w // 2]
-        shift = C_BITS * (w % 2)
-        outs.append(((limb >> shift) & jnp.uint32(N_BUCKETS - 1)).astype(jnp.int32))
+    W = n_windows(c)
+    padded = jnp.concatenate(
+        [scalars_u16, jnp.zeros(scalars_u16.shape[:-1] + (1,), scalars_u16.dtype)],
+        axis=-1,
+    )
+    for w in range(W):
+        bit0 = w * c
+        l, off = bit0 // 16, bit0 % 16
+        lo = padded[:, l] >> off
+        if off + c > 16:
+            lo = lo | (padded[:, l + 1] << (16 - off))
+        outs.append((lo & jnp.uint32((1 << c) - 1)).astype(jnp.int32))
     return jnp.stack(outs, 0)
 
 
-def _bucket_accumulate(points_ext, digits, capacity: int):
-    """One window's bucket sums.  points_ext: (n+1,3,16) with an infinity
-    sentinel last; digits: (n,). Returns ((256,3,16) buckets, overflow)."""
-    n = digits.shape[0]
-    order = jnp.argsort(digits)
-    sorted_d = digits[order]
-    starts = jnp.searchsorted(sorted_d, jnp.arange(N_BUCKETS, dtype=jnp.int32))
-    pos = jnp.arange(n, dtype=jnp.int32) - starts[sorted_d]
-    counts = jnp.diff(jnp.append(starts, jnp.int32(n)))
-    overflow = jnp.any(counts[1:] > capacity)
-
-    idx = jnp.full((N_BUCKETS, capacity), n, dtype=jnp.int32)
-    # digit-0 entries have weight zero and may overflow bucket 0 harmlessly;
-    # route them to the dropped sentinel column instead.
-    tgt_pos = jnp.where(sorted_d == 0, capacity, pos)  # OOB -> dropped
-    idx = idx.at[sorted_d, tgt_pos].set(order, mode="drop")
-    mat = jnp.take(points_ext, idx, axis=0)  # (256, capacity, 3, 16)
-
-    width = capacity
+def _tree_fold(curve, mat, axis_len: int):
+    """Halving tree-sum over axis 1 of (buckets, capacity, ...) for ANY
+    capacity: odd widths keep their last column for the next level."""
+    width = axis_len
     while width > 1:
         half = width // 2
-        mat = G1.add(mat[:, :half], mat[:, half:width])
-        width = half
-    return mat[:, 0], overflow
+        lo = mat[:, :half]
+        hi = mat[:, half : 2 * half]
+        summed = curve.add(lo, hi)
+        if width % 2:
+            mat = jnp.concatenate([summed, mat[:, 2 * half : width]], axis=1)
+            width = half + 1
+        else:
+            mat = summed
+            width = half
+    return mat[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def msm(points, scalars_u16, capacity: Optional[int] = None):
-    """Σ sᵢ·Pᵢ.  points: (n,3,16) projective; scalars_u16: (n,16) canonical
-    16-bit limbs (see `scalars_from_int` / `ff.LimbField.to_repr_u16`).
-    Returns (result (3,16), overflow flag)."""
+_RANK_BLK = 512  # block length for the sort-free ranking pass
+
+
+def _rank_in_bucket(digits, n_buckets: int):
+    """Stable rank of each element within its bucket, WITHOUT sorting.
+
+    digits: (..., n) int32.  Returns (ranks (..., n), counts (..., n_buckets)).
+    An XLA sort of 1M keys costs ~150ms/window on TPU (it lowers to while
+    loops); this blocked one-hot cumsum is pure dense vector work and
+    vectorizes across the window axis."""
+    *batch, n = digits.shape
+    nblk = n // _RANK_BLK
+    assert nblk * _RANK_BLK == n, "n must be a multiple of the rank block"
+    oh = (
+        digits.reshape(*batch, nblk, _RANK_BLK, 1)
+        == jnp.arange(n_buckets, dtype=jnp.int32)
+    ).astype(jnp.uint16)
+    within = jnp.cumsum(oh, axis=-2, dtype=jnp.uint16)  # inclusive, <= BLK
+    blk_counts = within[..., -1, :].astype(jnp.int32)  # (..., nblk, nb)
+    zeros = jnp.zeros((*batch, 1, n_buckets), jnp.int32)
+    blk_prefix = jnp.concatenate(
+        [zeros, jnp.cumsum(blk_counts, axis=-2)[..., :-1, :]], axis=-2
+    )
+    excl = (within - oh).astype(jnp.int32) + blk_prefix[..., None, :]
+    ranks = (excl * oh.astype(jnp.int32)).sum(-1).reshape(*batch, n)
+    return ranks, blk_counts.sum(-2)
+
+
+def _bucket_accumulate(curve, points_ext, idx, capacity: int):
+    """One window's bucket sums from a precomputed slot-index matrix.
+    points_ext: (n+1, ...) with an infinity sentinel last; idx: (n_buckets,
+    capacity) point indices (n = sentinel)."""
+    # Gather on a FLAT (n+1, prod(elem)) view: TPU row-gather of a 2D array
+    # runs ~3x faster than the equivalent (n+1, 3, limbs) gather.
+    elem_shape = points_ext.shape[1:]
+    flat = points_ext.reshape(points_ext.shape[0], -1)
+    mat = jnp.take(flat, idx, axis=0).reshape(idx.shape + elem_shape)
+    return _tree_fold(curve, mat, capacity)
+
+
+def _slot_indices(digits, n_buckets: int, capacity: int):
+    """Batched slot assignment for a stack of windows.
+
+    digits: (W, n).  Returns (idx (W, n_buckets, capacity) int32 with n as
+    the infinity sentinel, overflow bool).  One flattened scatter serves all
+    windows (scatters are dispatch-bound, not byte-bound)."""
+    W, n = digits.shape
+    # Rank in window groups: the one-hot tensor is n*n_buckets*2 bytes per
+    # window (~0.5GB at 2^20), so a full-W batch would blow HBM.
+    G = max(1, min(W, (1 << 31) // max(1, n * n_buckets * 2)))
+    if W % G:
+        G = 1
+    if G == W:
+        ranks, counts = _rank_in_bucket(digits, n_buckets)
+    else:
+        _, (ranks, counts) = jax.lax.scan(
+            lambda _, d: (None, _rank_in_bucket(d, n_buckets)),
+            None,
+            digits.reshape(W // G, G, n),
+        )
+        ranks = ranks.reshape(W, n)
+        counts = counts.reshape(W, n_buckets)
+    overflow = jnp.any(counts[:, 1:] > capacity)
+    # digit-0 entries have weight zero: route them to a dropped OOB slot.
+    tgt = jnp.where(digits == 0, capacity, jnp.minimum(ranks, capacity))
+    comb = digits + (n_buckets * jnp.arange(W, dtype=jnp.int32))[:, None]
+    idx = jnp.full((W * n_buckets, capacity + 1), n, dtype=jnp.int32)
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
+    idx = idx.at[comb.reshape(-1), tgt.reshape(-1)].set(
+        src.reshape(-1), mode="drop"
+    )
+    return idx[:, :capacity].reshape(W, n_buckets, capacity), overflow
+
+
+def _weighted_bucket_sum(curve, buckets):
+    """Σ_{b>=1} b * B_b over axis 1 of (W, n_buckets, ...), as the tree sum
+    of suffix sums (log-depth, vectorized across the window axis)."""
+    rev = jnp.flip(buckets[:, 1:], axis=1)  # B_{max} ... B_1
+    suffix = jax.lax.associative_scan(curve.add, rev, axis=1)
+    return curve.tree_sum(suffix, axis=1)  # (W, ...)
+
+
+def _horner(curve, wsums, c: int):
+    """Combine window sums MSB-first: acc = 2^c * acc + wsum."""
+
+    def body(acc, wsum):
+        for _ in range(c):
+            acc = curve.double(acc)
+        return curve.add(acc, wsum), None
+
+    acc, _ = jax.lax.scan(body, curve.infinity(), wsums[::-1])
+    return acc
+
+
+def _msm_engine(curve, points_ext, scalars_u16, c: int, capacity: int):
+    """Generic Pippenger over any CurveOps backend.  points_ext includes the
+    infinity sentinel at index n."""
+    n = points_ext.shape[0] - 1
+    n_buckets = 1 << c
+    digits = extract_digits(scalars_u16, c)  # (W, n)
+
+    idx_all, overflow = _slot_indices(digits[:-1], n_buckets, capacity)
+
+    def acc_body(_, idx_w):
+        return None, _bucket_accumulate(curve, points_ext, idx_w, capacity)
+
+    _, buckets = jax.lax.scan(acc_body, None, idx_all)
+    # Top window separately: its digit range is [0, p >> c*(W-1)], so its
+    # buckets carry far more points each — its own (smaller, taller) matrix.
+    trange = top_range(c)
+    tcap = max(capacity, top_capacity(n, c))
+    top_idx, top_o = _slot_indices(digits[-1:], trange, tcap)
+    top_b = _bucket_accumulate(curve, points_ext, top_idx[0], tcap)
+    overflow = overflow | top_o
+
+    wsums = _weighted_bucket_sum(curve, buckets)  # (W-1, ...)
+    top_sum = _weighted_bucket_sum(curve, top_b[None])  # (1, ...)
+    wsums = jnp.concatenate([wsums, top_sum], axis=0)
+    return _horner(curve, wsums, c), overflow
+
+
+def _pad_to_block(points, scalars_u16):
+    """Pad n up to a multiple of the ranking block with zero scalars on the
+    first point (zero digits are dropped, so the result is unchanged)."""
+    n = points.shape[0]
+    pad = (-n) % _RANK_BLK
+    if pad:
+        points = jnp.concatenate(
+            [points, jnp.broadcast_to(points[:1], (pad,) + points.shape[1:])], 0
+        )
+        scalars_u16 = jnp.concatenate(
+            [scalars_u16, jnp.zeros((pad,) + scalars_u16.shape[1:],
+                                    scalars_u16.dtype)], 0
+        )
+    return points, scalars_u16
+
+
+# ------------------------------------------------------------------ frontends
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "c"))
+def msm(points, scalars_u16, capacity: Optional[int] = None, c: int = C_BITS):
+    """Σ sᵢ·Pᵢ over the positional backend.  points: (n,3,16) projective;
+    scalars_u16: (n,16) canonical 16-bit limbs (see `scalars_from_int` /
+    `ff.LimbField.to_repr_u16`).  Returns (result (3,16), overflow flag)."""
+    points, scalars_u16 = _pad_to_block(points, scalars_u16)
     n = points.shape[0]
     if capacity is None:
-        capacity = default_capacity(n)
-    digits = extract_digits(scalars_u16)  # (W, n)
+        capacity = default_capacity(n, 1 << c)
     points_ext = jnp.concatenate([points, G1.infinity((1,))], axis=0)
+    return _msm_engine(G1, points_ext, scalars_u16, c, capacity)
 
-    def acc_body(ovf, dw):
-        buckets, o = _bucket_accumulate(points_ext, dw, capacity)
-        return ovf | o, buckets
 
-    overflow, buckets = jax.lax.scan(acc_body, jnp.asarray(False), digits[:-1])
-    # Top window separately: its digit distribution is skewed (scalars < p <
-    # 2^254 concentrate the top byte), so it needs a larger static capacity.
-    top_b, top_o = _bucket_accumulate(
-        points_ext, digits[-1], max(capacity, top_capacity(n))
-    )
-    buckets = jnp.concatenate([buckets, top_b[None]], axis=0)
-    overflow = overflow | top_o
-    # buckets: (W, 256, 3, 16)
+@functools.partial(jax.jit, static_argnames=("capacity", "c"))
+def msm_rns(points, scalars_u16, capacity: Optional[int] = None, c: int = C_BITS):
+    """Σ sᵢ·Pᵢ over the RNS/MXU backend (~2x faster per EC add; the default
+    for large n).  Same interface as `msm`: positional points in, positional
+    (3,16) result out; the RNS conversion happens on-device."""
+    from ..ec.rns_g1 import G1R, from_rns, to_rns
 
-    # Running-sum weighted reduction, vectorized over the window axis:
-    #   running += B_b (b = 255..1);  total += running.
-    def rs_body(carry, bucket_b):
-        running, total = carry
-        running = G1.add(running, bucket_b)
-        total = G1.add(total, running)
-        return (running, total), None
-
-    rev = jnp.moveaxis(buckets[:, 1:][:, ::-1], 0, 1)  # (255, W, 3, 16)
-    init = (G1.infinity((N_WINDOWS,)), G1.infinity((N_WINDOWS,)))
-    (_, wsums), _ = jax.lax.scan(rs_body, init, rev)  # (W, 3, 16)
-
-    # Horner combine from the most-significant window down.
-    def horner_body(acc, wsum):
-        for _ in range(C_BITS):
-            acc = G1.double(acc)
-        return G1.add(acc, wsum), None
-
-    acc, _ = jax.lax.scan(horner_body, G1.infinity(), wsums[::-1])
-    return acc, overflow
+    points, scalars_u16 = _pad_to_block(points, scalars_u16)
+    n = points.shape[0]
+    if capacity is None:
+        capacity = default_capacity(n, 1 << c)
+    points_ext = jnp.concatenate([to_rns(points), G1R.infinity((1,))], axis=0)
+    out, ovf = _msm_engine(G1R, points_ext, scalars_u16, c, capacity)
+    return from_rns(out), ovf
 
 
 def scalars_from_int(ints):
@@ -158,13 +294,14 @@ def scalars_from_int(ints):
     return jnp.asarray(np.stack([int_to_limbs(int(s) % FR.p) for s in ints]))
 
 
-def msm_checked(points, scalars_u16, capacity: Optional[int] = None):
+def msm_checked(points, scalars_u16, capacity: Optional[int] = None, backend="auto"):
     """Host wrapper: runs `msm`, grows capacity on bucket overflow (handles
     adversarial scalar distributions; each retry recompiles)."""
     n = points.shape[0]
-    cap = capacity or default_capacity(n)
+    kernel = msm_rns if backend == "rns" or (backend == "auto" and n >= 4096) else msm
+    cap = capacity or default_capacity(n, 1 << C_BITS)
     while True:
-        out, ovf = msm(points, scalars_u16, capacity=cap)
+        out, ovf = kernel(points, scalars_u16, capacity=cap)
         if not bool(ovf):
             return out
         if cap >= max(n, 8):

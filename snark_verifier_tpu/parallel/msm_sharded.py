@@ -21,7 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ec.g1 import G1
-from ..msm.pippenger import default_capacity, msm
+from ..msm.pippenger import default_capacity, msm, msm_rns
 
 
 def _tree_fold(parts):
@@ -42,7 +42,7 @@ def _tree_fold(parts):
 
 def batch_msm_sharded(points, scalars_u16, mesh: Mesh,
                       batch_axis: str = "batch", points_axis: str = "points",
-                      capacity: Optional[int] = None):
+                      capacity: Optional[int] = None, backend: str = "auto"):
     """Batch of B MSMs sharded over a 2D mesh: data-parallel over the batch
     axis, point-sharded (the domain's tensor-parallel analogue) within each
     MSM.  points (B,n,3,16), scalars (B,n,16); B % mesh[batch_axis] == 0 and
@@ -51,9 +51,12 @@ def batch_msm_sharded(points, scalars_u16, mesh: Mesh,
     n = points.shape[1]
     assert n % ndev_p == 0 and points.shape[0] % mesh.shape[batch_axis] == 0
     cap = capacity or default_capacity(n // ndev_p)
+    kern = msm_rns if backend == "rns" or (
+        backend == "auto" and n // ndev_p >= 4096
+    ) else msm
 
     def local(pts, scs):  # (Bl, nl, 3, 16), (Bl, nl, 16)
-        part, ovf = jax.vmap(lambda p, s: msm(p, s, capacity=cap))(pts, scs)
+        part, ovf = jax.vmap(lambda p, s: kern(p, s, capacity=cap))(pts, scs)
         parts = jax.lax.all_gather(part, points_axis)  # (D, Bl, 3, 16)
         parts = _tree_fold(parts)
         ovf_all = jax.lax.all_gather(ovf, points_axis).any(axis=0)
@@ -70,7 +73,7 @@ def batch_msm_sharded(points, scalars_u16, mesh: Mesh,
 
 
 def msm_sharded(points, scalars_u16, mesh: Mesh, axis_name: str = "points",
-                capacity: Optional[int] = None):
+                capacity: Optional[int] = None, backend: str = "auto"):
     """Σ sᵢ·Pᵢ across a mesh axis.  points (n,3,16), scalars (n,16); n must be
     divisible by the mesh axis size (pad upstream with zero scalars).
     Returns (result (3,16) replicated, overflow flag)."""
@@ -78,9 +81,12 @@ def msm_sharded(points, scalars_u16, mesh: Mesh, axis_name: str = "points",
     n = points.shape[0]
     assert n % ndev == 0, f"n={n} not divisible by mesh axis {ndev}"
     cap = capacity or default_capacity(n // ndev)
+    kern = msm_rns if backend == "rns" or (
+        backend == "auto" and n // ndev >= 4096
+    ) else msm
 
     def local_msm(pts, scals):
-        part, ovf = msm(pts, scals, capacity=cap)
+        part, ovf = kern(pts, scals, capacity=cap)
         # (D, 3, 16) partials on every device, then a replicated tree fold.
         parts = _tree_fold(jax.lax.all_gather(part, axis_name))
         ovf_all = jax.lax.all_gather(ovf, axis_name).any()

@@ -1,0 +1,442 @@
+"""Inner-product-argument PCS + accumulation scheme (reference parity: the
+`pcs::ipa` family — /root/reference/snark-verifier/src/pcs/ipa.rs:40-180
+prover/succinct-verifier, ipa/decider.rs:47-55 decider, ipa/accumulation.rs
+IpaAs — notation from https://eprint.iacr.org/2020/499.pdf).
+
+Differences from the reference, by design:
+  * Curve: BN254 G1 (the framework's native curve) instead of pasta — the
+    scheme is curve-generic and needs no pairing.
+  * Transcript: the framework's Poseidon transcript instead of Blake2b.
+  * Split execution: proving is host-side (python ints + the native C++
+    core's MSM/scalar-mul), succinct verification runs on-device through
+    MsmExpr -> jitted kernels, and the decider's U == <h, G> check is one
+    device Pippenger MSM over 2^k points (the TPU-heavy step, exactly the
+    shape BASELINE.md's MSM metric measures).
+
+An accumulator is (xi: [k challenges], u: final base); `decide` recomputes
+h(X) = Π_i (1 + xi_{k-1-i} X^{2^i}) coefficient-wise and checks commit(G, h)
+== U.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ...ec import py_ec
+from ...ff import FR_FIELD
+from ...ff.spec import FR as FR_SPEC
+from ...loader.msm_expr import MsmExpr
+from ...utils import native
+
+FR = FR_FIELD
+R_MOD = FR_SPEC.p
+
+
+# --------------------------------------------------------------- host helpers
+
+
+def _scalar_mul(pt, k: int):
+    if native.available():
+        return native.scalar_mul(pt, k)
+    return py_ec.scalar_mul(pt, k)
+
+
+def _msm_host(points, scalars):
+    if native.available():
+        return native.msm(points, scalars)
+    return py_ec.msm(points, scalars)
+
+
+def _inner(a: Sequence[int], b: Sequence[int]) -> int:
+    return sum(x * y for x, y in zip(a, b)) % R_MOD
+
+
+def h_coeffs_int(xi: Sequence[int], scalar: int = 1) -> List[int]:
+    """Host coefficients of h(X) = scalar * Π_i (1 + xi_{k-1-i} X^{2^i})
+    (reference ipa.rs:378-395)."""
+    coeffs = [scalar % R_MOD]
+    for x in reversed(list(xi)):
+        coeffs = coeffs + [c * x % R_MOD for c in coeffs]
+    return coeffs
+
+
+def h_eval_int(xi: Sequence[int], z: int) -> int:
+    acc, zp = 1, z % R_MOD
+    for x in reversed(list(xi)):
+        acc = acc * (1 + x * zp) % R_MOD
+        zp = zp * zp % R_MOD
+    return acc
+
+
+# -------------------------------------------------------------- device helpers
+
+
+def h_eval_dev(xi: List[Any], z):
+    """Device h(z) = Π_i (1 + xi_{k-1-i} * z^{2^i}) (reference ipa.rs:369-377)."""
+    acc = None
+    zp = z
+    for x in reversed(xi):
+        term = FR.add(FR.mul(x, zp), FR.one)
+        acc = term if acc is None else FR.mul(acc, term)
+        zp = FR.mul(zp, zp)
+    return acc
+
+
+def h_coeffs_dev(xi: List[Any]):
+    """Device coefficient vector (2^k, 16) of h(X) (Montgomery Fr limbs)."""
+    import jax.numpy as jnp
+
+    coeffs = jnp.broadcast_to(FR.one, (1,) + FR.one.shape)
+    for x in reversed(xi):
+        coeffs = jnp.concatenate([coeffs, FR.mul(coeffs, x)], axis=0)
+    return coeffs
+
+
+def _affine_to_proj(xy):
+    import jax.numpy as jnp
+
+    from ...ff import FQ_FIELD
+
+    z = jnp.broadcast_to(FQ_FIELD.one, xy[..., 0, :].shape)
+    return jnp.concatenate([xy, z[..., None, :]], axis=-2)
+
+
+def _point_eq(p, q):
+    """Projective equality x1 z2 == x2 z1 ∧ y1 z2 == y2 z1 (and both-infinity)."""
+    import jax.numpy as jnp
+
+    from ...ec.g1 import G1
+    from ...ff import FQ_FIELD as FQ
+
+    x1, y1, z1 = G1.coords(p)
+    x2, y2, z2 = G1.coords(q)
+    both_inf = FQ.is_zero(z1) & FQ.is_zero(z2)
+    eq = FQ.eq(FQ.mul(x1, z2), FQ.mul(x2, z1)) & FQ.eq(
+        FQ.mul(y1, z2), FQ.mul(y2, z1)
+    )
+    return jnp.where(both_inf, True, eq & ~FQ.is_zero(z1) & ~FQ.is_zero(z2))
+
+
+# ----------------------------------------------------------------------- keys
+
+
+@dataclass
+class IpaProvingKey:
+    """Reference IpaProvingKey (ipa.rs:185-227): bases G, blinder H, zk S."""
+
+    k: int
+    g: List  # 2^k affine int tuples
+    h: Tuple
+    s: Optional[Tuple] = None
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    @property
+    def zk(self) -> bool:
+        return self.s is not None
+
+    @staticmethod
+    def rand(k: int, zk: bool = False, seed: int = 0) -> "IpaProvingKey":
+        """Reference IpaProvingKey::rand (ipa.rs:229-243): random bases."""
+        rng = np.random.default_rng(seed)
+        scalars = [int.from_bytes(rng.bytes(32)) % R_MOD or 1 for _ in range((1 << k) + 2)]
+        if native.available():
+            pts = [native.scalar_mul(py_ec.G1_GEN, s) for s in scalars]
+        else:
+            pts = [py_ec.scalar_mul(py_ec.G1_GEN, s) for s in scalars]
+        g, h, s = pts[: 1 << k], pts[1 << k], pts[(1 << k) + 1]
+        return IpaProvingKey(k, g, h, s if zk else None)
+
+    def commit(self, coeffs: Sequence[int], omega: Optional[int] = None):
+        c = _msm_host(self.g[: len(coeffs)], list(coeffs))
+        if self.s is not None and omega is not None:
+            c = py_ec.add(c, _scalar_mul(self.s, omega))
+        return c
+
+    def svk(self) -> "IpaSuccinctVerifyingKey":
+        return IpaSuccinctVerifyingKey(self.k, self.g[0], self.h, self.s)
+
+
+@dataclass
+class IpaSuccinctVerifyingKey:
+    k: int
+    g0: Tuple
+    h: Tuple
+    s: Optional[Tuple] = None
+
+    @property
+    def zk(self) -> bool:
+        return self.s is not None
+
+
+@dataclass
+class IpaAccumulator:
+    """(xi, U) — reference ipa/accumulator.rs:6-25.  Scalars/points may be
+    host ints (prover side) or device arrays (verifier side)."""
+
+    xi: List[Any]
+    u: Any
+
+
+# --------------------------------------------------------------------- prover
+
+
+class Ipa:
+    """Prover (host) + succinct verifier (device) for one opening p(z) = v."""
+
+    @staticmethod
+    def create_proof(
+        pk: IpaProvingKey,
+        p: Sequence[int],
+        z: int,
+        omega: Optional[int] = None,
+        transcript=None,
+        seed: int = 1,
+    ) -> IpaAccumulator:
+        """Host prover (reference ipa.rs:40-123).  Writes to a host Poseidon
+        transcript writer; returns the (int) accumulator."""
+        rng = np.random.default_rng(seed)
+        coeffs = [int(c) % R_MOD for c in p] + [0] * (pk.n - len(p))
+
+        if pk.zk:
+            p_bar = [int.from_bytes(rng.bytes(32)) % R_MOD for _ in range(pk.n)]
+            from ...utils.py_poly import peval
+
+            p_bar[0] = (p_bar[0] - peval(p_bar, z)) % R_MOD  # p_bar(z) = 0
+            omega_bar = int.from_bytes(rng.bytes(32)) % R_MOD
+            c_bar = pk.commit(p_bar, omega_bar)
+            transcript.write_ec_point(c_bar)
+            alpha = transcript.squeeze_challenge()
+            omega_prime = (omega + alpha * omega_bar) % R_MOD
+            transcript.write_scalar(omega_prime)
+            coeffs = [(a + alpha * b) % R_MOD for a, b in zip(coeffs, p_bar)]
+
+        xi_0 = transcript.squeeze_challenge()
+        h_prime = _scalar_mul(pk.h, xi_0)
+        bases = list(pk.g)
+        zs = [pow(z, i, R_MOD) for i in range(pk.n)]
+
+        xis = []
+        for i in range(pk.k):
+            half = 1 << (pk.k - i - 1)
+            l_i = py_ec.add(
+                _msm_host(bases[:half], coeffs[half:]),
+                _scalar_mul(h_prime, _inner(coeffs[half:], zs[:half])),
+            )
+            r_i = py_ec.add(
+                _msm_host(bases[half:], coeffs[:half]),
+                _scalar_mul(h_prime, _inner(coeffs[:half], zs[half:])),
+            )
+            transcript.write_ec_point(l_i)
+            transcript.write_ec_point(r_i)
+            xi = transcript.squeeze_challenge()
+            xi_inv = pow(xi, -1, R_MOD)
+            bases = [
+                py_ec.add(bl, _scalar_mul(br, xi))
+                for bl, br in zip(bases[:half], bases[half:])
+            ]
+            coeffs = [
+                (cl + xi_inv * cr) % R_MOD
+                for cl, cr in zip(coeffs[:half], coeffs[half:])
+            ]
+            zs = [(zl + xi * zr) % R_MOD for zl, zr in zip(zs[:half], zs[half:])]
+            xis.append(xi)
+
+        transcript.write_ec_point(bases[0])
+        transcript.write_scalar(coeffs[0])
+        return IpaAccumulator(xis, bases[0])
+
+    @staticmethod
+    def read_proof(svk: IpaSuccinctVerifyingKey, transcript) -> dict:
+        """Device-side proof reader (reference ipa.rs:300-330)."""
+        proof = {}
+        if svk.zk:
+            proof["c_bar"] = transcript.read_ec_point()
+            proof["alpha"] = transcript.squeeze_challenge()
+            proof["omega_prime"] = transcript.read_scalar()
+        proof["xi_0"] = transcript.squeeze_challenge()
+        rounds = []
+        for _ in range(svk.k):
+            l = transcript.read_ec_point()
+            r = transcript.read_ec_point()
+            xi = transcript.squeeze_challenge()
+            rounds.append((l, r, xi))
+        proof["rounds"] = rounds
+        proof["u"] = transcript.read_ec_point()
+        proof["c"] = transcript.read_scalar()
+        return proof
+
+    @staticmethod
+    def succinct_verify(svk, commitment: MsmExpr, z, eval_, proof):
+        """Device succinct check (reference ipa.rs:137-180): verifies
+        C_k == c[U] + v'[H'] and returns (IpaAccumulator, ok bool array)."""
+        import jax.numpy as jnp
+
+        from ...ec.g1 import from_affine_int
+
+        h = MsmExpr.base(from_affine_int([svk.h])[0])
+        h_prime = h * proof["xi_0"]
+
+        c_prime = commitment
+        if svk.zk:
+            s = MsmExpr.base(from_affine_int([svk.s])[0])
+            c_prime = (
+                c_prime
+                + MsmExpr.base(_affine_to_proj(proof["c_bar"])) * proof["alpha"]
+                - s * proof["omega_prime"]
+            )
+        c_0 = c_prime + h_prime * eval_
+
+        xis = [xi for (_, _, xi) in proof["rounds"]]
+        xi_invs = list(FR.batch_inv(jnp.stack(xis, 0)))
+        c_k = c_0
+        for (l, r, xi), xi_inv in zip(proof["rounds"], xi_invs):
+            c_k = c_k + MsmExpr.base(_affine_to_proj(l)) * xi_inv
+            c_k = c_k + MsmExpr.base(_affine_to_proj(r)) * xi
+        lhs = c_k.evaluate(None)
+
+        u = _affine_to_proj(proof["u"])
+        v_prime = FR.mul(h_eval_dev(xis, z), proof["c"])
+        rhs = (MsmExpr.base(u) * proof["c"] + h_prime * v_prime).evaluate(None)
+
+        ok = _point_eq(lhs, rhs)
+        return IpaAccumulator(xis, u), ok
+
+
+# -------------------------------------------------------------------- decider
+
+
+@dataclass
+class IpaDecidingKey:
+    svk: IpaSuccinctVerifyingKey
+    g: List  # all 2^k bases (affine int)
+
+    @functools.cached_property
+    def g_dev(self):
+        from ...ec.g1 import from_affine_int_np
+
+        import jax.numpy as jnp
+
+        return jnp.asarray(from_affine_int_np(self.g))
+
+
+def decide(dk: IpaDecidingKey, acc: IpaAccumulator):
+    """Device decider (reference ipa/decider.rs:47-55): U == <h_coeffs, G>,
+    one 2^k-point Pippenger MSM on-device."""
+    from ...msm.pippenger import msm_rns
+
+    if isinstance(acc.u, tuple) or acc.u is None:  # host-int accumulator
+        from ...ec.g1 import from_affine_int
+
+        acc = IpaAccumulator([FR.from_int(x) for x in acc.xi],
+                             from_affine_int([acc.u])[0])
+    coeffs = h_coeffs_dev(acc.xi)  # (2^k, 16) Montgomery
+    scalars = FR.to_repr_u16(coeffs)
+    out, ovf = msm_rns(dk.g_dev, scalars)
+    u = acc.u if acc.u.shape[-2] == 3 else _affine_to_proj(acc.u)
+    return _point_eq(out, u) & ~ovf
+
+
+def decide_all(dk: IpaDecidingKey, accs: List[IpaAccumulator]):
+    import jax.numpy as jnp
+
+    return jnp.stack([decide(dk, a) for a in accs])
+
+
+# ----------------------------------------------------------- accumulation (AS)
+
+
+class IpaAs:
+    """Accumulation scheme folding N accumulators into one via a fresh IPA
+    over the RLC'd h polynomial (reference ipa/accumulation.rs)."""
+
+    @staticmethod
+    def create_proof(pk: IpaProvingKey, instances: List[IpaAccumulator],
+                     transcript, seed: int = 2) -> IpaAccumulator:
+        assert len(instances) > 1
+        rng = np.random.default_rng(seed)
+        a_b_u = None
+        omega = None
+        if pk.zk:
+            a = int.from_bytes(rng.bytes(32)) % R_MOD
+            b = int.from_bytes(rng.bytes(32)) % R_MOD
+            u = py_ec.add(_scalar_mul(pk.g[1], a), _scalar_mul(pk.g[0], b))
+            transcript.write_scalar(a)
+            transcript.write_scalar(b)
+            transcript.write_ec_point(u)
+            a_b_u = (a, b, u)
+            omega = int.from_bytes(rng.bytes(32)) % R_MOD
+            transcript.write_scalar(omega)
+
+        for acc in instances:
+            for xi in acc.xi:
+                transcript.common_scalar(xi)
+            transcript.common_ec_point(acc.u)
+
+        alpha = transcript.squeeze_challenge()
+        z = transcript.squeeze_challenge()
+
+        hs = [h_coeffs_int(acc.xi) for acc in instances]
+        if a_b_u is not None:
+            hs.append([a_b_u[1], a_b_u[0]] + [0] * (pk.n - 2))
+        h = [0] * pk.n
+        pa = 1
+        for hc in hs:
+            for i, c in enumerate(hc):
+                h[i] = (h[i] + pa * c) % R_MOD
+            pa = pa * alpha % R_MOD
+        return Ipa.create_proof(pk, h, z, omega, transcript, seed=seed + 1)
+
+    @staticmethod
+    def read_proof(svk, instances: List[IpaAccumulator], transcript) -> dict:
+        assert len(instances) > 1
+        proof = {}
+        if svk.zk:
+            proof["a"] = transcript.read_scalar()
+            proof["b"] = transcript.read_scalar()
+            proof["abu"] = transcript.read_ec_point()
+            proof["omega"] = transcript.read_scalar()
+        for acc in instances:
+            for xi in acc.xi:
+                transcript.common_scalar(xi)
+            transcript.common_ec_point(acc.u)
+        proof["alpha"] = transcript.squeeze_challenge()
+        proof["z"] = transcript.squeeze_challenge()
+        proof["ipa"] = Ipa.read_proof(svk, transcript)
+        return proof
+
+    @staticmethod
+    def verify(svk, instances: List[IpaAccumulator], proof):
+        """Device verify (reference ipa/accumulation.rs:47-74): fold U's and
+        h evals with powers of alpha, then succinct-verify the fresh IPA."""
+        us = [acc.u for acc in instances]
+        hs = [h_eval_dev(acc.xi, proof["z"]) for acc in instances]
+        if svk.zk:
+            us.append(_affine_to_proj(proof["abu"]))
+            hs.append(FR.add(FR.mul(proof["a"], proof["z"]), proof["b"]))
+
+        c = MsmExpr()
+        v = None
+        pa = None  # alpha^0 = 1 handled via None
+        for u, h in zip(us, hs):
+            term_c = MsmExpr.base(u) if pa is None else MsmExpr.base(u) * pa
+            term_v = h if pa is None else FR.mul(h, pa)
+            c = c + term_c
+            v = term_v if v is None else FR.add(v, term_v)
+            pa = proof["alpha"] if pa is None else FR.mul(pa, proof["alpha"])
+        if svk.zk:
+            s = MsmExpr.base(_from_affine_const(svk.s))
+            c = c + s * proof["omega"]
+        return Ipa.succinct_verify(svk, c, proof["z"], v, proof["ipa"])
+
+
+def _from_affine_const(pt):
+    from ...ec.g1 import from_affine_int
+
+    return from_affine_int([pt])[0]

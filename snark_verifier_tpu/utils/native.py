@@ -56,6 +56,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bn254_msm.argtypes = [u64p, u64p, ctypes.c_long, u64p]
     lib.bn254_scalar_mul.argtypes = [u64p, u64p, u64p]
     lib.bn254_srs_powers.argtypes = [u64p, u64p, ctypes.c_long, u64p]
+    lib.bn254_enumerate_points.argtypes = [u64p, ctypes.c_long, u64p]
     lib.bn254_fe_mul_batch.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
     lib.bn254_fe_inv_batch.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
     return lib
@@ -107,6 +108,20 @@ def scalar_mul(point, k: int):
     out = np.zeros(12, np.uint64)
     lib.bn254_scalar_mul(_enc_point(point), _limbs64(int(k) % FR.p), out)
     return _dec_point(out)
+
+
+def enumerate_points_dev(n: int):
+    """[1..n]*G as a device-ready (n,3,16) uint32 array (bench/test helper).
+    Native C++ sequential adds + a pure-numpy limb reshuffle."""
+    lib = _load()
+    assert lib is not None
+    from ..ec.g1 import generator  # noqa: F401 (doc ref)
+
+    out = np.zeros(12 * n, np.uint64)
+    lib.bn254_enumerate_points(_enc_point((1, 2)), n, out)
+    # u64 Montgomery projective limbs -> 16x16-bit-in-u32 little-endian
+    u16 = out.reshape(n, 3, 4).view(np.uint16)  # (n, 3, 16), little-endian
+    return u16.astype(np.uint32)
 
 
 def srs_powers(g, tau: int, n: int) -> List:
