@@ -102,6 +102,20 @@ class CurveOps:
         # Layer 2: six independent products.
         l2a = jnp.stack([t3, t4, yb, t1m, t0_3, z3l], 0)
         l2b = jnp.stack([t1m, yb, t0_3, z3l, t3, t4], 0)
+        if hasattr(F, "mul_lazy"):
+            # Lazy reduction: combine product residues first, then run the
+            # three Montgomery reductions instead of six.
+            dm = F.mul_lazy(l2a, l2b)
+            comb = jnp.stack(
+                [
+                    F.lazy_sub(dm[0], dm[1]),  # t3·t1m − t4·yb
+                    F.lazy_add(dm[3], dm[2]),  # t1m·z3l + yb·t0_3
+                    F.lazy_add(dm[5], dm[4]),  # z3l·t4 + t0_3·t3
+                ],
+                0,
+            )
+            out = F.reduce_d(comb)
+            return self.stack(out[0], out[1], out[2])
         mm = F.mul(l2a, l2b)
         x3 = F.sub(mm[0], mm[1])  # t3·t1m − t4·yb
         y3 = F.add(mm[3], mm[2])  # t1m·z3l + yb·t0_3
@@ -120,9 +134,16 @@ class CurveOps:
         y3l = F.add(t0, t2)  # Y² + 3bZ²
         t0m = F.sub(t0, F.add(F.double(t2), t2))  # Y² − 9bZ²
         # Layer 2: t2·8Y², YZ·8Y², (Y²−9bZ²)·(Y²+3bZ²), (Y²−9bZ²)·XY.
-        mm = F.mul(
-            jnp.stack([t2, t1, t0m, t0m], 0), jnp.stack([z8, z8, y3l, xy], 0)
-        )
+        l2a = jnp.stack([t2, t1, t0m, t0m], 0)
+        l2b = jnp.stack([z8, z8, y3l, xy], 0)
+        if hasattr(F, "mul_lazy"):
+            dm = F.mul_lazy(l2a, l2b)
+            comb = jnp.stack(
+                [F.lazy_double(dm[3]), F.lazy_add(dm[2], dm[0]), dm[1]], 0
+            )
+            out = F.reduce_d(comb)
+            return self.stack(out[0], out[1], out[2])
+        mm = F.mul(l2a, l2b)
         y3 = F.add(mm[2], mm[0])  # (Y²−9bZ²)(Y²+3bZ²) + 24bY²Z²
         x3 = F.double(mm[3])  # 2XY(Y²−9bZ²)
         z3 = mm[1]  # 8Y³Z

@@ -31,12 +31,14 @@ from .spec import NLIMBS, FieldSpec
 
 _U32 = jnp.uint32
 _U16 = jnp.uint16
-_MASK16 = _U32(0xFFFF)
+# numpy scalars (not jnp): jnp scalars are device constants that Pallas
+# kernels cannot capture; numpy scalars inline as literals everywhere.
+_MASK16 = np.uint32(0xFFFF)
 
 
 def _split_u8(x):
     """(..., k) u32 values < 2^16 -> (..., 2k) uint8 [lo | hi]."""
-    lo = (x & _U32(0xFF)).astype(jnp.uint8)
+    lo = (x & np.uint32(0xFF)).astype(jnp.uint8)
     hi = (x >> 8).astype(jnp.uint8)
     return jnp.concatenate([lo, hi], axis=-1)
 
@@ -100,24 +102,27 @@ class RnsField:
 
     # ------------------------------------------------------------- primitives
 
-    def _fold(self, t, mods, cs):
-        """t (u32, any value) -> t mod m, for pseudo-Mersenne m = 2^16 - c,
-        c < 2^9.  Three folds bring t under 2*m_min (2^32 -> 2^25.1 ->
-        2^18.4 -> 2^16.1); one conditional subtract finishes.  The redundant
-        lane (c=0, m=2^16) reduces to t & 0xFFFF for free."""
-        t = (t >> 16) * cs + (t & _MASK16)
-        t = (t >> 16) * cs + (t & _MASK16)
-        t = (t >> 16) * cs + (t & _MASK16)
+    def _fold(self, t, mods, cs, nfolds: int = 3):
+        """t (u32, any value) -> t mod m, for pseudo-Mersenne m = 2^16 - c.
+        Folds bring t under 2*m_min; one conditional subtract finishes.  For
+        c < 2^9 (base B) three folds are needed (2^32 -> 2^25.1 -> 2^18.4 ->
+        2^16.1); base A's moduli all have c < 2^8, where two suffice
+        (2^32 -> 2^24.01 -> 130560 < 2*m_min).  The redundant lane (c=0,
+        m=2^16) reduces to t & 0xFFFF for free."""
+        for _ in range(nfolds):
+            t = (t >> 16) * cs + (t & _MASK16)
         return jnp.where(t >= mods, t - mods, t)
 
-    def _modmul(self, x, y, mods, cs):
-        return self._fold(x.astype(_U32) * y.astype(_U32), mods, cs)
+    def _modmul(self, x, y, mods, cs, nfolds: int = 3):
+        return self._fold(x.astype(_U32) * y.astype(_U32), mods, cs, nfolds)
 
-    def _ext(self, sigma, rhs, mods, cs):
+    def _ext(self, sigma, rhs, mods, cs, nfolds: int = 3):
         """Base extension Σ_i sigma_i * T[i,j] mod m_j as one uint8 matmul.
 
         sigma: (..., 17) u32 < 2^16.  rhs: packed (34, 4n) uint8.  Returns
-        (..., n) u32 residues (strictly reduced)."""
+        (..., n) u32 residues (strictly reduced).  The recombined column sum
+        is < 2^30, so nfolds=2 is exact whenever all target c < 2^8
+        ((2^30 >> 16)*c + 2^16 < 2^22.1 -> fold2 < 2*m_min)."""
         n = rhs.shape[1] // 4
         lhs = _split_u8(sigma)
         shape = lhs.shape
@@ -135,7 +140,7 @@ class RnsField:
         # Σ = s_ll + 2^8 (s_lh + s_hl) + 2^16 s_hh;  2^16 ≡ c (mod m).
         # Blocks < 17*255*255 < 2^20.1 so everything below stays in u32.
         t = s_ll + ((s_lh + s_hl) << 8) + cs * s_hh
-        return self._fold(t, mods, cs)
+        return self._fold(t, mods, cs, nfolds)
 
     # ------------------------------------------------------------ arithmetic
 
@@ -177,21 +182,56 @@ class RnsField:
                 acc = self.add(acc, a)
         return acc
 
+    def mul_lazy(self, a, b):
+        """Product residues WITHOUT Montgomery reduction: a (..., 35) x
+        b -> d (..., 35) strict residues representing the integer a*b.
+        Lazy d's may be combined with lazy_add/lazy_sub before one shared
+        reduce_d — RC15's x3 = t3*t1m - t4*yb needs one reduction, not two."""
+        # One full-width modmul (3 folds): splitting the d phase per base to
+        # exploit base A's 2-fold reduction forces minor-axis relayout
+        # copies that cost more than the fold it saves (measured -10%).
+        return self._modmul(a.astype(_U32), b.astype(_U32), self.MODS, self.CS)
+
+    def lazy_add(self, d1, d2):
+        t = d1 + d2
+        return jnp.where(t >= self.MODS, t - self.MODS, t)
+
+    def lazy_sub(self, d1, d2):
+        """d1 - d2 + 2^27 * p^2 (the offset covers any product of curve
+        values, which stay < ~2^11 p each)."""
+        off = self._p2_off
+        t = d1 + off + (self.MODS - d2)
+        t = jnp.where(t >= self.MODS, t - self.MODS, t)
+        return jnp.where(t >= self.MODS, t - self.MODS, t)
+
+    def lazy_double(self, d):
+        return self.lazy_add(d, d)
+
+    @functools.cached_property
+    def _p2_off(self):
+        v = (1 << 27) * self.fspec.p * self.fspec.p
+        return np.array([v % int(m) for m in self.rspec.mods], dtype=np.uint32)
+
     def mul(self, a, b):
         """Montgomery-RNS product a*b*M^{-1}.
 
         Input values may be as large as ~2^270 (≈ 2^16 * p each, jointly
         a*b < M*(M2 - 17p)); output value < a*b/M + 17p — i.e. < 18p for any
         sane inputs.  Residues strictly reduced."""
+        return self.reduce_d(self.mul_lazy(a, b))
+
+    def reduce_d(self, d):
+        """Montgomery reduction of product residues: value(d) -> value(d)/M
+        (mod p), bounded by value(d)/M + 17p (< ~600p for lazy-combined
+        curve products, < 18p for plain muls)."""
         MODS, CS = self.MODS, self.CS
-        a, b = a.astype(_U32), b.astype(_U32)
-        d = self._modmul(a, b, MODS, CS)  # (..., 35)
+        d = d.astype(_U32)
         d_a, d_br = d[..., :K], d[..., K:]
         mods_a, cs_a = MODS[:K], CS[:K]
         mods_br, cs_br = MODS[K:], CS[K:]
 
         # q~ = d * (-p)^{-1} mod M, via per-lane sigma then A -> B∪r extension
-        sigma = self._modmul(d_a, self.SIGMA_C, mods_a, cs_a)
+        sigma = self._modmul(d_a, self.SIGMA_C, mods_a, cs_a, 2)
         q_br = self._ext(sigma, self.RHS_AB, mods_br, cs_br)  # (..., 18)
 
         # r~ = (d + q~ * p) * M^{-1}, elementwise in B ∪ r
@@ -203,11 +243,11 @@ class RnsField:
         # exact Shenoy-Kumaresan extension B -> A using the redundant lane
         sigma2 = self._modmul(r_br[..., :K], self.SIGMA2_C, MODS[K : 2 * K], CS[K : 2 * K])
         e = self._ext(sigma2, self.RHS_BA, jnp.concatenate([MODS[:K], MODS[2 * K :]]),
-                      jnp.concatenate([CS[:K], CS[2 * K :]]))  # (..., 18): A | r
+                      jnp.concatenate([CS[:K], CS[2 * K :]]), nfolds=2)  # A | r
         e_a, e_r = e[..., :K], e[..., K]
-        beta = ((e_r + _U32(MR) - r_br[..., K]) & _MASK16) * self.M2INV_R & _MASK16
+        beta = ((e_r + np.uint32(MR) - r_br[..., K]) & _MASK16) * self.M2INV_R & _MASK16
         # r~_A = e_A - beta * (M2 mod m_i)   (beta < 17)
-        corr = self._fold(beta[..., None] * self.M2_MOD_A, MODS[:K], CS[:K])
+        corr = self._fold(beta[..., None] * self.M2_MOD_A, MODS[:K], CS[:K], 2)
         t = e_a + (MODS[:K] - corr)
         r_a = jnp.where(t >= MODS[:K], t - MODS[:K], t)
         return jnp.concatenate([r_a, r_br], axis=-1).astype(_U16)
@@ -290,7 +330,7 @@ class RnsField:
         limbs.append((carry + prev_hh) & _MASK16)  # W < 17*M2 < 2^277 fits 18
         W = jnp.stack(limbs, axis=-1)  # (..., 18)
         # beta = (W - y) * M2^{-1} mod 2^16, exact since beta < 17
-        beta = ((W[..., 0] + _U32(MR) - y[..., 2 * K]) & _MASK16) * self.M2INV_R & _MASK16
+        beta = ((W[..., 0] + np.uint32(MR) - y[..., 2 * K]) & _MASK16) * self.M2INV_R & _MASK16
         # V = W - beta * M2 (18-limb subtraction, V = value(y) < 18p)
         bm2 = beta[..., None] * jnp.concatenate(
             [self.M2_LIMBS, jnp.zeros((1,), _U32)]
@@ -307,9 +347,9 @@ class RnsField:
         outs = []
         borrow = jnp.zeros(a.shape[:-1], _U32)
         for l in range(a.shape[-1]):
-            v = a[..., l] + _U32(1 << 22) - b[..., l] - borrow
+            v = a[..., l] + np.uint32(1 << 22) - b[..., l] - borrow
             outs.append(v & _MASK16)
-            borrow = _U32(1 << 6) - (v >> 16)
+            borrow = np.uint32(1 << 6) - (v >> 16)
         return jnp.stack(outs, axis=-1)
 
     @staticmethod
@@ -317,9 +357,9 @@ class RnsField:
         outs = []
         borrow = jnp.zeros(a.shape[:-1], _U32)
         for l in range(a.shape[-1]):
-            v = a[..., l] + _U32(1 << 16) - m[l] - borrow
+            v = a[..., l] + np.uint32(1 << 16) - m[l] - borrow
             outs.append(v & _MASK16)
-            borrow = _U32(1) - (v >> 16)
+            borrow = np.uint32(1) - (v >> 16)
         d = jnp.stack(outs, axis=-1)
         return jnp.where((borrow == 0)[..., None], d, a)
 

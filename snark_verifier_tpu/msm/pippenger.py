@@ -100,11 +100,12 @@ def extract_digits(scalars_u16, c: int):
     return jnp.stack(outs, 0)
 
 
-def _tree_fold(curve, mat, axis_len: int):
+def _tree_fold(curve, mat, axis_len: int, stop: int = 1):
     """Halving tree-sum over axis 1 of (buckets, capacity, ...) for ANY
-    capacity: odd widths keep their last column for the next level."""
+    capacity: odd widths keep their last column for the next level.  Folds
+    until the axis length is <= `stop` and returns (mat, width)."""
     width = axis_len
-    while width > 1:
+    while width > stop:
         half = width // 2
         lo = mat[:, :half]
         hi = mat[:, half : 2 * half]
@@ -115,7 +116,7 @@ def _tree_fold(curve, mat, axis_len: int):
         else:
             mat = summed
             width = half
-    return mat[:, 0]
+    return mat, width
 
 
 _RANK_BLK = 512  # block length for the sort-free ranking pass
@@ -146,16 +147,24 @@ def _rank_in_bucket(digits, n_buckets: int):
     return ranks, blk_counts.sum(-2)
 
 
-def _bucket_accumulate(curve, points_ext, idx, capacity: int):
-    """One window's bucket sums from a precomputed slot-index matrix.
-    points_ext: (n+1, ...) with an infinity sentinel last; idx: (n_buckets,
-    capacity) point indices (n = sentinel)."""
+# Deep tree-fold levels run at tiny lane counts but still pay the whole
+# RC15 kernel-chain overhead (~130ms/window at 2^20); fold inside the
+# window scan only down to this width, then batch every window's tail
+# into one wide fold.
+_FOLD_STOP = 512
+
+
+def _bucket_accumulate(curve, points_ext, idx, capacity: int, stop: int = 1):
+    """One window's (partial) bucket sums from a precomputed slot-index
+    matrix.  points_ext: (n+1, ...) with an infinity sentinel last; idx:
+    (n_buckets, capacity) point indices (n = sentinel).  Returns
+    ((n_buckets, width, ...), width) folded down to width <= stop."""
     # Gather on a FLAT (n+1, prod(elem)) view: TPU row-gather of a 2D array
     # runs ~3x faster than the equivalent (n+1, 3, limbs) gather.
     elem_shape = points_ext.shape[1:]
     flat = points_ext.reshape(points_ext.shape[0], -1)
     mat = jnp.take(flat, idx, axis=0).reshape(idx.shape + elem_shape)
-    return _tree_fold(curve, mat, capacity)
+    return _tree_fold(curve, mat, capacity, stop=stop)
 
 
 def _slot_indices(digits, n_buckets: int, capacity: int):
@@ -222,16 +231,29 @@ def _msm_engine(curve, points_ext, scalars_u16, c: int, capacity: int):
     idx_all, overflow = _slot_indices(digits[:-1], n_buckets, capacity)
 
     def acc_body(_, idx_w):
-        return None, _bucket_accumulate(curve, points_ext, idx_w, capacity)
+        part, _w = _bucket_accumulate(
+            curve, points_ext, idx_w, capacity, stop=_FOLD_STOP
+        )
+        return None, part
 
-    _, buckets = jax.lax.scan(acc_body, None, idx_all)
+    _, parts = jax.lax.scan(acc_body, None, idx_all)  # (W-1, nb, w1, ...)
     # Top window separately: its digit range is [0, p >> c*(W-1)], so its
     # buckets carry far more points each — its own (smaller, taller) matrix.
     trange = top_range(c)
     tcap = max(capacity, top_capacity(n, c))
     top_idx, top_o = _slot_indices(digits[-1:], trange, tcap)
-    top_b = _bucket_accumulate(curve, points_ext, top_idx[0], tcap)
+    top_mat, _ = _bucket_accumulate(curve, points_ext, top_idx[0], tcap)
+    top_b = top_mat[:, 0]  # single window: its deep levels are paid once
     overflow = overflow | top_o
+
+    # Batch the 31 main windows' deep fold levels together: one wide fold
+    # instead of 31 underutilized tails.
+    w1 = parts.shape[2]
+    elem_shape = points_ext.shape[1:]
+    wm1 = parts.shape[0]
+    tail = parts.reshape((wm1 * n_buckets, w1) + elem_shape)
+    folded, _ = _tree_fold(curve, tail, w1)
+    buckets = folded[:, 0].reshape((wm1, n_buckets) + elem_shape)
 
     wsums = _weighted_bucket_sum(curve, buckets)  # (W-1, ...)
     top_sum = _weighted_bucket_sum(curve, top_b[None])  # (1, ...)

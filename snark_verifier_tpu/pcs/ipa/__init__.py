@@ -1,3 +1,4 @@
+from .bgh19 import Bgh19
 from .ipa import (
     Ipa,
     IpaAccumulator,
@@ -12,6 +13,7 @@ from .ipa import (
 )
 
 __all__ = [
+    "Bgh19",
     "Ipa",
     "IpaDecidingKey",
     "decide",

@@ -94,7 +94,16 @@ def test_ec_bound_replay():
         assert b <= 1024 * P, f"sub offset < bound(b) = {b / P:.0f}p"
         return a + 1024 * P
 
-    def add_bounds(c):  # RC15 add with all inputs bounded by c
+    OFF = (1 << 27) * P * P  # RnsField.lazy_sub offset
+
+    def lazy_mul(a, b):  # product VALUE bound (no reduction yet)
+        assert a * b < MUL_LIMIT
+        return a * b
+
+    def reduce_d(d):
+        return d // s.M + 17 * P
+
+    def add_bounds(c):  # RC15 add (lazy layer 2) with inputs bounded by c
         m = mul(2 * c, 2 * c)  # products of coord sums
         t3 = sub(m, 2 * m)
         t4 = ty = t3
@@ -102,19 +111,22 @@ def test_ec_bound_replay():
         z3l = m + t2b
         t1m = sub(m, t2b)
         yb = 9 * ty
-        mm = max(
-            mul(t3, t1m), mul(t4, yb), mul(yb, t0_3), mul(t1m, z3l),
-            mul(t0_3, t3), mul(z3l, t4),
+        d = max(
+            lazy_mul(t3, t1m), lazy_mul(t4, yb), lazy_mul(yb, t0_3),
+            lazy_mul(t1m, z3l), lazy_mul(t0_3, t3), lazy_mul(z3l, t4),
         )
-        return max(sub(mm, mm), mm + mm)  # x3 / y3,z3
+        assert d < OFF, "lazy_sub offset must cover any layer-2 product"
+        return reduce_d(max(d + OFF, 2 * d))  # x3 / y3, z3
 
     def double_bounds(c):
         m = mul(c, c)
         z8, t2 = 8 * m, 9 * m
         y3l = m + t2
         t0m = sub(m, 3 * t2)
-        mm = max(mul(t2, z8), mul(m, z8), mul(t0m, y3l), mul(t0m, m))
-        return max(2 * mm, mm + mm)
+        d = max(lazy_mul(t2, z8), lazy_mul(m, z8), lazy_mul(t0m, y3l),
+                lazy_mul(t0m, m))
+        assert d < OFF
+        return reduce_d(2 * d)
 
     c = 20 * P  # fresh mul/from_limbs output bound
     for _ in range(8):  # iterate to a fixed point; assert closure
