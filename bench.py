@@ -79,16 +79,19 @@ def bench_verify():
     # jitted whole-pipeline path (1-device mesh == plain batched verify)
     mesh = jax.sharding.Mesh(np_.array(jax.devices()[:1]), ("batch",))
 
+    def sync(x):
+        np_.asarray(jax.device_get(x.ravel()[:1]))
+
     t0 = time.time()
     oks = batch_verify_sharded(snarks, srs, mesh, "shplonk")
-    oks.block_until_ready()
+    sync(oks)
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
-    ok = bool(oks.all())
+    ok = bool(np_.asarray(oks).all())
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        batch_verify_sharded(snarks, srs, mesh, "shplonk").block_until_ready()
+        sync(batch_verify_sharded(snarks, srs, mesh, "shplonk"))
         times.append(time.time() - t0)
     dt = min(times)
     print(
@@ -104,9 +107,66 @@ def bench_verify():
     )
 
 
+def bench_pairing():
+    """BENCH_MODE=pairing: KZG-decider pairing checks/sec at batch
+    BENCH_BATCH (the reference's decide loop, pcs/kzg/decider.rs:70-80,
+    as one vmapped multi-Miller-loop + final exp)."""
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    import jax
+
+    from snark_verifier_tpu.ec import from_affine_int, py_ec
+    from snark_verifier_tpu.pcs.kzg.decider import decide
+    from snark_verifier_tpu.sdk.srs import toy_srs
+
+    import random
+
+    from snark_verifier_tpu.ff.spec import FR
+
+    srs = toy_srs(8, seed=0xA11CE)
+    tau = random.Random(0xA11CE).randrange(1, FR.p)
+    # valid accumulators: lhs = tau * rhs  =>  e(lhs, g2) e(rhs, -tau g2) == 1
+    rng = np.random.default_rng(3)
+    ks = [int.from_bytes(rng.bytes(31)) for _ in range(B)]
+    rhs = from_affine_int([py_ec.scalar_mul(py_ec.G1_GEN, k) for k in ks])
+    lhs = from_affine_int(
+        [py_ec.scalar_mul(py_ec.G1_GEN, k * tau % FR.p) for k in ks]
+    )
+    fn = jax.jit(lambda l, r: decide(srs, l, r))
+
+    def sync(x):
+        np.asarray(jax.device_get(x.ravel()[:1]))
+
+    t0 = time.time()
+    ok = fn(lhs, rhs)
+    sync(ok)
+    print(f"# pairing compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    all_ok = bool(np.asarray(ok).all())
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        sync(fn(lhs, rhs))
+        times.append(time.time() - t0)
+    dt = min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "pairing_checks_per_sec_batch%d" % B
+                + ("" if all_ok else "_INCORRECT"),
+                "value": round(B / dt, 2),
+                "unit": "pairings/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "verify":
         bench_verify()
+        return
+    if os.environ.get("BENCH_MODE") == "pairing":
+        bench_pairing()
         return
     log2n = int(os.environ.get("BENCH_LOG2N", "20"))
     reps = int(os.environ.get("BENCH_REPS", "3"))

@@ -87,6 +87,10 @@ class MsmExpr:
     def evaluate(self, g=None):
         """Lower to device kernels; returns a projective point.  `g` is the
         generator the constant term multiplies (required if const is set)."""
+        from ..utils.timing import METER
+
+        METER.count("msm_terms", len(self.pairs) + (self.const is not None))
+        METER.count("msm", 1)
         scaled_pts = []
         scaled_scalars = []
         plain_pts = []

@@ -57,13 +57,24 @@ def batch_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
         )
         return decide_all(srs, accs).all(axis=0)
 
-    fn = jax.jit(
-        shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-            out_specs=P(axis_name),
-            check_vma=False,
+    # Cache the jitted callable: re-wrapping in jax.jit per call would
+    # re-trace the whole verifier graph every time (tens of seconds of
+    # host work at batch 256).
+    key = (id(protocol), id(srs), scheme_name, axis_name, mesh,
+           sc.shape, pts.shape, flat_inst.shape)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+                out_specs=P(axis_name),
+                check_vma=False,
+            )
         )
-    )
+        _FN_CACHE[key] = fn
     return fn(sc, pts, flat_inst)
+
+
+_FN_CACHE: dict = {}

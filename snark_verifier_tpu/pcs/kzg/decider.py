@@ -18,6 +18,9 @@ from ...pairing.pairing import pairing_check
 
 def decide(srs, lhs, rhs):
     """lhs, rhs: (..., 3, 16) projective device points -> (...,) bool."""
+    from ...utils.timing import METER
+
+    METER.count("pairing", 2)
     lx, ly, _ = G1.to_affine(lhs)
     rx, ry, _ = G1.to_affine(rhs)
     xs = jnp.stack([lx, rx], axis=-2)  # (..., 2, 16)

@@ -16,6 +16,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: EC/pairing kernels are compile-heavy; reuse across
-# test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# test runs.  NOTE: a separate directory from the TPU runs' .jax_cache — that
+# one accumulates CPU AOT entries compiled on the remote axon host whose CPU
+# features differ (loading them risks SIGILL, observed as suite crashes).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
