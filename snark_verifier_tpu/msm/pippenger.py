@@ -154,17 +154,43 @@ def _rank_in_bucket(digits, n_buckets: int):
 _FOLD_STOP = 512
 
 
+def _flat_add(curve, a, b):
+    """curve.add on FLAT (..., 3*L) points: lane-slices the coordinates and
+    re-concats, avoiding the (..., 3, L) relayout reshape that costs ~1.7s
+    per 2^20 MSM.  Identical math (it calls the same CurveOps.add)."""
+    L = a.shape[-1] // 3
+    pa = jnp.stack([a[..., :L], a[..., L : 2 * L], a[..., 2 * L :]], axis=-2)
+    pb = jnp.stack([b[..., :L], b[..., L : 2 * L], b[..., 2 * L :]], axis=-2)
+    o = curve.add(pa, pb)
+    x, y, z = o[..., 0, :], o[..., 1, :], o[..., 2, :]
+    return jnp.concatenate([x, y, z], axis=-1)
+
+
+def _tree_fold_flat(curve, mat, axis_len: int, stop: int = 1):
+    """_tree_fold over FLAT (buckets, capacity, 3*L) points."""
+    width = axis_len
+    while width > stop:
+        half = width // 2
+        summed = _flat_add(curve, mat[:, :half], mat[:, half : 2 * half])
+        if width % 2:
+            mat = jnp.concatenate([summed, mat[:, 2 * half : width]], axis=1)
+            width = half + 1
+        else:
+            mat = summed
+            width = half
+    return mat, width
+
+
 def _bucket_accumulate(curve, points_ext, idx, capacity: int, stop: int = 1):
     """One window's (partial) bucket sums from a precomputed slot-index
     matrix.  points_ext: (n+1, ...) with an infinity sentinel last; idx:
     (n_buckets, capacity) point indices (n = sentinel).  Returns
-    ((n_buckets, width, ...), width) folded down to width <= stop."""
-    # Gather on a FLAT (n+1, prod(elem)) view: TPU row-gather of a 2D array
-    # runs ~3x faster than the equivalent (n+1, 3, limbs) gather.
-    elem_shape = points_ext.shape[1:]
+    ((n_buckets, width, 3*L) FLAT points, width) folded to width <= stop.
+    Gather and fold both run on the flat (n+1, 3*L) view: TPU row-gathers of
+    2D arrays are ~3x faster, and the fold avoids relayout reshapes."""
     flat = points_ext.reshape(points_ext.shape[0], -1)
-    mat = jnp.take(flat, idx, axis=0).reshape(idx.shape + elem_shape)
-    return _tree_fold(curve, mat, capacity, stop=stop)
+    mat = jnp.take(flat, idx, axis=0)  # (n_buckets, capacity, 3*L)
+    return _tree_fold_flat(curve, mat, capacity, stop=stop)
 
 
 def _slot_indices(digits, n_buckets: int, capacity: int):
@@ -193,11 +219,13 @@ def _slot_indices(digits, n_buckets: int, capacity: int):
     # digit-0 entries have weight zero: route them to a dropped OOB slot.
     tgt = jnp.where(digits == 0, capacity, jnp.minimum(ranks, capacity))
     comb = digits + (n_buckets * jnp.arange(W, dtype=jnp.int32))[:, None]
-    idx = jnp.full((W * n_buckets, capacity + 1), n, dtype=jnp.int32)
+    # one FLAT 1D scatter with unique indices: TPU lowers 2D scatters to a
+    # chunked dynamic-update-slice loop; the 1D unique form is far cheaper.
+    flat_tgt = comb.reshape(-1) * (capacity + 1) + tgt.reshape(-1)
     src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
-    idx = idx.at[comb.reshape(-1), tgt.reshape(-1)].set(
-        src.reshape(-1), mode="drop"
-    )
+    idx = jnp.full((W * n_buckets * (capacity + 1),), n, dtype=jnp.int32)
+    idx = idx.at[flat_tgt].set(src.reshape(-1), mode="drop", unique_indices=True)
+    idx = idx.reshape(W * n_buckets, capacity + 1)
     return idx[:, :capacity].reshape(W, n_buckets, capacity), overflow
 
 
@@ -243,17 +271,17 @@ def _msm_engine(curve, points_ext, scalars_u16, c: int, capacity: int):
     tcap = max(capacity, top_capacity(n, c))
     top_idx, top_o = _slot_indices(digits[-1:], trange, tcap)
     top_mat, _ = _bucket_accumulate(curve, points_ext, top_idx[0], tcap)
-    top_b = top_mat[:, 0]  # single window: its deep levels are paid once
     overflow = overflow | top_o
 
-    # Batch the 31 main windows' deep fold levels together: one wide fold
-    # instead of 31 underutilized tails.
-    w1 = parts.shape[2]
+    # Batch the main windows' deep fold levels together: one wide fold
+    # instead of W underutilized tails.  Unflatten points only at the end
+    # (the bucket arrays are tiny).
     elem_shape = points_ext.shape[1:]
-    wm1 = parts.shape[0]
-    tail = parts.reshape((wm1 * n_buckets, w1) + elem_shape)
-    folded, _ = _tree_fold(curve, tail, w1)
+    wm1, _, w1, flat_elem = parts.shape
+    tail = parts.reshape(wm1 * n_buckets, w1, flat_elem)
+    folded, _ = _tree_fold_flat(curve, tail, w1)
     buckets = folded[:, 0].reshape((wm1, n_buckets) + elem_shape)
+    top_b = top_mat[:, 0].reshape((trange,) + elem_shape)
 
     wsums = _weighted_bucket_sum(curve, buckets)  # (W-1, ...)
     top_sum = _weighted_bucket_sum(curve, top_b[None])  # (1, ...)
