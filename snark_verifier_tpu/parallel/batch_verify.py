@@ -60,8 +60,8 @@ def batch_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
     # Cache the jitted callable: re-wrapping in jax.jit per call would
     # re-trace the whole verifier graph every time (tens of seconds of
     # host work at batch 256).
-    key = (id(protocol), id(srs), scheme_name, axis_name, mesh,
-           sc.shape, pts.shape, flat_inst.shape)
+    key = (protocol.content_hash(), srs.content_hash(), scheme_name, axis_name,
+           mesh, sc.shape, pts.shape, flat_inst.shape)
     fn = _FN_CACHE.get(key)
     if fn is None:
         fn = jax.jit(

@@ -66,6 +66,21 @@ def accumulator_from_limbs(limbs: List):
     return lhs, rhs
 
 
+def accumulator_from_limbs_int(limbs: List[int]):
+    """Host: 12 Fr limb ints -> ((lhs_x, lhs_y), (rhs_x, rhs_y)) affine int
+    points (inverse of accumulator_to_limbs_int; used for pre-device
+    validation of instance-encoded accumulators)."""
+    assert len(limbs) == 4 * LIMBS
+    mask = (1 << BITS) - 1
+    coords = []
+    for i in range(4):
+        v = 0
+        for j in range(LIMBS):
+            v |= (limbs[i * LIMBS + j] & mask) << (BITS * j)
+        coords.append(v)
+    return (coords[0], coords[1]), (coords[2], coords[3])
+
+
 def accumulator_to_limbs_int(acc) -> List[int]:
     """Host: affine int accumulator ((lhs_x, lhs_y), (rhs_x, rhs_y)) -> 12
     Fr limb ints (the instance encoding used by AggregationCircuit,

@@ -57,12 +57,57 @@ class Snark:
         with open(path) as f:
             return Snark.from_json(json.load(f))
 
+    def validate(self):
+        """Reject malformed proofs before any device math touches them.
+
+        Mirrors the reference's deserialization-time point validation
+        (loader/evm/code.rs:41-55 `validate_ec_point`; native path via
+        halo2curves `from_xy`): every proof point must be on the curve and
+        have reduced coordinates, every scalar/instance must be a reduced Fr
+        element, and instance-encoded old accumulators (LIMBS encoding) must
+        decode to on-curve points.  Raises errors.TranscriptError /
+        errors.InvalidInstances — off-curve points must never reach the
+        complete-add formulas."""
+        from .. import errors
+        from ..ff.spec import FQ
+
+        for i, (x, y) in enumerate(self.points):
+            if not (0 <= x < FQ.p and 0 <= y < FQ.p):
+                raise errors.TranscriptError(f"proof point {i} coordinate not reduced")
+            if not py_ec.is_on_curve((x, y)):
+                raise errors.TranscriptError(f"proof point {i} not on curve")
+        for i, s in enumerate(self.scalars):
+            if not 0 <= s < FR.p:
+                raise errors.TranscriptError(f"proof scalar {i} not reduced")
+        if [len(c) for c in self.instances] != self.protocol.num_instance:
+            raise errors.InvalidInstances(
+                f"{[len(c) for c in self.instances]} != {self.protocol.num_instance}"
+            )
+        for col in self.instances:
+            for v in col:
+                if not 0 <= v < FR.p:
+                    raise errors.InvalidInstances("instance value not reduced")
+        from ..pcs.kzg.accumulator import accumulator_from_limbs_int
+
+        for acc_idx in self.protocol.accumulator_indices:
+            limbs = [self.instances[i][j] for (i, j) in acc_idx]
+            (lhs, rhs) = accumulator_from_limbs_int(limbs)
+            for name, pt in (("lhs", lhs), ("rhs", rhs)):
+                if not py_ec.is_on_curve(pt):
+                    raise errors.InvalidInstances(
+                        f"old accumulator {name} decodes off-curve"
+                    )
+        return self
+
     def device_streams(self):
-        """-> (scalars (n,16), points (m,2,16)) device arrays."""
+        """-> (scalars (n,16), points (m,2,16)) device arrays.  Validates the
+        proof streams first (on-curve / reduced-form checks)."""
         import jax.numpy as jnp
 
         from ..ec import from_affine_int
         from ..ff import FR_FIELD
+
+        self.validate()
 
         sc = (
             jnp.stack([FR_FIELD.from_int(s) for s in self.scalars], 0)

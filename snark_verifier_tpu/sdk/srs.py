@@ -30,6 +30,13 @@ class Srs:
     def g(self):
         return self.g1_powers[0]
 
+    def content_hash(self) -> str:
+        """Stable digest of the verifier-relevant SRS content (g, g2, s_g2 —
+        what the compiled verify graph actually bakes in)."""
+        import hashlib
+
+        return hashlib.sha256(repr((self.g, self.g2, self.s_g2)).encode()).hexdigest()
+
     @functools.cached_property
     def g_dev(self):
         from ..ec.g1 import from_affine_int_np

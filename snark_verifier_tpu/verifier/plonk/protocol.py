@@ -313,6 +313,15 @@ class PlonkProtocol:
             out.update(range(-max_rot, max_inst + abs(min_rot)))
         return sorted(out)
 
+    def content_hash(self) -> str:
+        """Stable digest of the full protocol content — the jit-cache key for
+        shape-specialized compilations (id()-based keys can alias after GC)."""
+        import hashlib
+        import json
+
+        blob = json.dumps(self.to_json(), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()
+
     # ---- JSON interchange
     def to_json(self):
         return {

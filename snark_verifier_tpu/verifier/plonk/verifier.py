@@ -66,7 +66,12 @@ class PlonkProof:
         if protocol.transcript_initial_state is not None:
             transcript.common_scalar(FR.from_int(protocol.transcript_initial_state))
 
-        assert [len(i) for i in instances] == protocol.num_instance, "InvalidInstances"
+        if [len(i) for i in instances] != protocol.num_instance:
+            from ...errors import InvalidInstances
+
+            raise InvalidInstances(
+                f"{[len(i) for i in instances]} != {protocol.num_instance}"
+            )
 
         committed_instances = None
         if protocol.instance_committing_key is not None:
