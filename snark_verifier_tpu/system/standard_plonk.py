@@ -138,19 +138,9 @@ def build_protocol(circuit: StandardPlonk, srs) -> PlonkProtocol:
 
 
 def _poly_from_evals(evals: List[int], domain: Domain) -> List[int]:
-    """Inverse DFT over the domain (O(n^2); fine for test-sized circuits)."""
-    n = domain.n
-    assert len(evals) == n
-    coeffs = []
-    for i in range(n):
-        acc = 0
-        w = pow(domain.gen_inv, i, R)
-        x = 1
-        for j in range(n):
-            acc = (acc + evals[j] * x) % R
-            x = x * w % R
-        coeffs.append(acc * domain.n_inv % R)
-    return coeffs
+    """Inverse NTT over the domain (O(n log n); k=10-20 circuits are fine)."""
+    assert len(evals) == domain.n
+    return pp.intt(evals, domain.gen)
 
 
 def prove(circuit: StandardPlonk, protocol: PlonkProtocol, srs,
@@ -190,13 +180,12 @@ def prove(circuit: StandardPlonk, protocol: PlonkProtocol, srs,
             lambda i: (_ for _ in ()).throw(ValueError("challenge in gate")),
             lambda a: pp.pscale(a, R - 1),
             pp.padd,
-            pp.pmul,
+            pp.pmul_ntt,
             lambda a, s: pp.pscale(a, s),
         )
 
     numerator = poly_of(protocol.quotient.numerator)
-    vanishing = [(R - 1)] + [0] * (n - 1) + [1]  # X^n - 1
-    t_poly, rem = pp.pdivmod(numerator, vanishing)
+    t_poly, rem = pp.pdiv_vanishing(numerator, n)
     assert not rem, "constraints unsatisfied"
     num_chunk = protocol.quotient.num_chunk()
     chunks = [t_poly[i * n : (i + 1) * n] or [0] for i in range(num_chunk)]
