@@ -161,6 +161,37 @@ def bench_pairing():
     )
 
 
+def measure_cpu_baseline(log2n: int = 17):
+    """Self-measured CPU reference rate: the multithreaded C++ Pippenger
+    (csrc/bn254.cpp bn254_msm_mt — the reference's rayon MSM shape,
+    util/msm.rs:290-310) on this host, all cores.  Returns points/s or None.
+    Measured at 2^17 (Pippenger points/s is ~size-independent for fixed c:
+    doubling overhead amortizes below the few-percent level by 2^17), with a
+    generator-multiple self-check so the number can't silently be garbage."""
+    from snark_verifier_tpu.ec import py_ec
+    from snark_verifier_tpu.ff.spec import FR
+    from snark_verifier_tpu.utils import native
+
+    if not native.available():
+        return None
+    n = 1 << log2n
+    raw = native.enumerate_points_raw(n)
+    rng = np.random.default_rng(7)
+    ks = [int.from_bytes(rng.bytes(32), "little") % FR.p for _ in range(n)]
+    scs = np.concatenate([native._limbs64(k) for k in ks])
+    t0 = time.time()
+    out = native.msm_mt_dev(raw, scs)
+    dt = time.time() - t0
+    k_total = sum(s * (i + 1) for i, s in enumerate(ks)) % FR.p
+    assert native._dec_point(out) == py_ec.scalar_mul(py_ec.G1_GEN, k_total), (
+        "CPU baseline self-check failed"
+    )
+    rate = n / dt
+    print(f"# cpu baseline (msm_mt, {os.cpu_count()} threads, 2^{log2n}): "
+          f"{rate:.0f} points/s ({dt:.1f}s)", file=sys.stderr)
+    return rate
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "verify":
         bench_verify()
@@ -216,14 +247,18 @@ def main():
     ok = (got == want) and not bool(ovf)
     print(f"# correct={ok} overflow={bool(ovf)} best={dt:.3f}s", file=sys.stderr)
 
+    cpu_rate = measure_cpu_baseline()
+    value = round(n / dt, 1)
     print(
         json.dumps(
             {
                 "metric": f"msm_points_per_sec_2^{log2n}_bn254_g1"
                 + ("" if ok else "_INCORRECT"),
-                "value": round(n / dt, 1),
+                "value": value,
                 "unit": "points/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": (
+                    round(value / cpu_rate, 3) if cpu_rate else 1.0
+                ),
             }
         )
     )

@@ -8,6 +8,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -272,6 +274,36 @@ void bn254_msm(const u64* points, const u64* scalars, long n, u64* out) {
         g1_add(&acc, &wsum, &acc);
     }
     delete[] buckets;
+    memcpy(out, &acc, 96);
+}
+
+// Multithreaded Pippenger: chunk-split across threads + projective reduce,
+// the CPU-baseline counterpart of the reference's rayon parallel MSM
+// (/root/reference/snark-verifier/src/util/msm.rs:290-310).  Used by
+// bench.py to self-measure the reference-style CPU rate this box can do,
+// so BENCH vs_baseline is a measured ratio rather than a placeholder.
+void bn254_msm_mt(const u64* points, const u64* scalars, long n, int nthreads,
+                  u64* out) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 64) nthreads = 64;
+    std::vector<G1> partial(nthreads);
+    std::vector<std::thread> threads;
+    long chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+        long lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+        threads.emplace_back([&, t, lo, hi]() {
+            if (lo >= hi) {
+                memset(&partial[t], 0, sizeof(G1));
+                memcpy(partial[t].y, FQ_CTX.one, 32);
+                return;
+            }
+            bn254_msm(points + 12 * lo, scalars + 4 * lo, hi - lo,
+                      (u64*)&partial[t]);
+        });
+    }
+    for (auto& th : threads) th.join();
+    G1 acc = partial[0];
+    for (int t = 1; t < nthreads; ++t) g1_add(&acc, &partial[t], &acc);
     memcpy(out, &acc, 96);
 }
 

@@ -183,6 +183,44 @@ class CurveOps:
         acc, _ = jax.lax.scan(body, init, bits_t)
         return acc
 
+    def msm_windowed(self, pts, digits, c: int = 4):
+        """Windowed multi-scalar mul with SHARED doublings across all bases —
+        the verify-path MSM (tens of bases, one result).
+
+        pts:    (..., n, 3) + elem — projective bases
+        digits: (..., n, nw) uint32 — c-bit scalar digits, LSB-first windows
+
+        acc = Σ_w 2^(c·w) · Σ_i digits[i,w] · pts[i], evaluated MSB-window
+        first with c doublings of the single accumulator per window and a
+        per-window table gather + tree-sum over bases.  ~6x fewer EC-op
+        instances than a per-base double-add ladder (254·2·n → ~(2^c-2+nw)·n),
+        mirroring the shared-window structure of the reference Pippenger
+        (/root/reference/snark-verifier/src/util/msm.rs:238-283) at
+        verify-path sizes."""
+        import jax
+
+        n_axis = pts.ndim - 2 - self.edims  # axis holding the base count
+        # multiples table T[d] = d·pt, d = 0..2^c-1: stacked at a new axis
+        # right after the base axis -> (..., n, 2^c, 3) + elem
+        tab = [self.infinity(self.batch_shape(pts)), pts]
+        for _ in range(2 ** c - 2):
+            tab.append(self.add(tab[-1], pts))
+        tab = jnp.stack(tab, axis=n_axis + 1)
+
+        def body(acc, dig):
+            for _ in range(c):
+                acc = self.double(acc)
+            idx = dig[(...,) + (None,) * (2 + self.edims)].astype(jnp.int32)
+            sel = jnp.take_along_axis(tab, idx, axis=n_axis + 1)
+            sel = jnp.squeeze(sel, axis=n_axis + 1)
+            acc = self.add(acc, self.tree_sum(sel, axis=n_axis))
+            return acc, None
+
+        digs = jnp.moveaxis(digits, -1, 0)[::-1]  # MSB window first
+        init = self.infinity(self.batch_shape(pts)[:-1])
+        acc, _ = jax.lax.scan(body, init, digs)
+        return acc
+
     def tree_sum(self, pts, axis: int = 0):
         """Sum a stack of points along `axis` by halving folds."""
         pts = jnp.moveaxis(pts, axis, 0)

@@ -285,6 +285,14 @@ def u16_limbs_to_bits(a):
     return bits.reshape(a.shape[:-1] + (W * NLIMBS,))
 
 
+def u16_limbs_to_digits4(a):
+    """(..., 16) canonical 16-bit limbs -> (..., 64) 4-bit digits, LSB-first
+    (digit j of limb i sits at index 4*i + j)."""
+    shifts = jnp.arange(0, W, 4, dtype=_U32)
+    digs = (a[..., :, None] >> shifts) & _u(0xF)  # (..., 16, 4)
+    return digs.reshape(a.shape[:-1] + (4 * NLIMBS,))
+
+
 @functools.lru_cache(maxsize=None)
 def _get(spec: FieldSpec) -> LimbField:
     return LimbField(spec)

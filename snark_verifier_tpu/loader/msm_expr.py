@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..ec.g1 import G1
 from ..ff import FR_FIELD
-from ..ff.jnp_field import u16_limbs_to_bits
+from ..ff.jnp_field import u16_limbs_to_digits4
 
 FR = FR_FIELD
 
@@ -109,9 +109,8 @@ class MsmExpr:
         if scaled_pts:
             pts = jnp.stack(jnp.broadcast_arrays(*scaled_pts), axis=-3)  # (...,n,3,16)
             scs = jnp.stack(jnp.broadcast_arrays(*scaled_scalars), axis=-2)
-            bits = u16_limbs_to_bits(FR.from_mont(scs))  # (..., n, 256)
-            muls = G1.scalar_mul_bits_batched(pts, bits)
-            parts.append(G1.tree_sum(muls, axis=-3 + muls.ndim))
+            digits = u16_limbs_to_digits4(FR.from_mont(scs))  # (..., n, 64)
+            parts.append(G1.msm_windowed(pts, digits, c=4))
         for p in plain_pts:
             parts.append(p)
         if not parts:

@@ -59,6 +59,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bn254_enumerate_points.argtypes = [u64p, ctypes.c_long, u64p]
     lib.bn254_fe_mul_batch.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
     lib.bn254_fe_inv_batch.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+    lib.bn254_msm_mt.argtypes = [u64p, u64p, ctypes.c_long, ctypes.c_int, u64p]
     return lib
 
 
@@ -102,6 +103,32 @@ def msm(points: List, scalars: List[int]):
     return _dec_point(out)
 
 
+def msm_mt_dev(points_u64: np.ndarray, scalars_u64: np.ndarray,
+               nthreads: int = 0):
+    """Multithreaded Pippenger on pre-encoded buffers (n*12 / n*4 u64 limbs,
+    Montgomery projective points, plain scalars) — the measured CPU baseline
+    (reference rayon MSM analogue, util/msm.rs:290-310).  Returns the 12-limb
+    result buffer."""
+    lib = _load()
+    assert lib is not None
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    n = len(scalars_u64) // 4
+    out = np.zeros(12, np.uint64)
+    lib.bn254_msm_mt(
+        np.ascontiguousarray(points_u64), np.ascontiguousarray(scalars_u64),
+        n, nthreads, out,
+    )
+    return out
+
+
+def msm_mt(points: List, scalars: List[int], nthreads: int = 0):
+    """Multithreaded MSM over affine int points; returns affine tuple."""
+    pts = np.concatenate([_enc_point(p) for p in points])
+    scs = np.concatenate([_limbs64(int(s) % FR.p) for s in scalars])
+    return _dec_point(msm_mt_dev(pts, scs, nthreads))
+
+
 def scalar_mul(point, k: int):
     lib = _load()
     assert lib is not None
@@ -122,6 +149,16 @@ def enumerate_points_dev(n: int):
     # u64 Montgomery projective limbs -> 16x16-bit-in-u32 little-endian
     u16 = out.reshape(n, 3, 4).view(np.uint16)  # (n, 3, 16), little-endian
     return u16.astype(np.uint32)
+
+
+def enumerate_points_raw(n: int) -> np.ndarray:
+    """[1..n]*G as the raw n*12 u64 Montgomery projective buffer (the direct
+    input format of msm_mt_dev — used by the CPU-baseline bench)."""
+    lib = _load()
+    assert lib is not None
+    out = np.zeros(12 * n, np.uint64)
+    lib.bn254_enumerate_points(_enc_point((1, 2)), n, out)
+    return out
 
 
 def srs_powers(g, tau: int, n: int) -> List:

@@ -1,0 +1,173 @@
+"""End-to-end tests for the full halo2-style verification equation: copy
+constraints (chunked permutation grand products, 2 z-polys), a lookup
+argument, multi-phase witnesses with a user challenge, rotations, and the
+zk blinding-row structure — the protocol shapes the reference's
+`system::halo2::compile` emits (halo2.rs:82-156,451-655).  This is the first
+protocol family where `num_challenge != [0]`, exercising the verifier's
+challenge and DistributePowers linearization paths."""
+
+import pytest
+
+from snark_verifier_tpu.ff.spec import FR
+from snark_verifier_tpu.sdk.aggregation import batch_verify
+from snark_verifier_tpu.sdk.srs import toy_srs
+from snark_verifier_tpu.system.vanilla_plonk import (
+    Assignment,
+    CircuitSpec,
+    Col,
+    Lookup,
+    compile_protocol,
+    gen_snark,
+)
+
+R = FR.p
+K = 6
+N = 1 << K
+
+
+def make_spec() -> CircuitSpec:
+    spec = CircuitSpec(
+        k=K,
+        num_fixed=5,  # q, q0 (public), q_l (lookup sel), q_r (rotation), T
+        num_advice=[3, 1],  # phase0: a, b, c; phase1: acc
+        num_instance=[1],
+        num_challenge_user=[1, 0],
+        # layout-affecting: must be set before any expression is built
+        permutation_columns=[
+            Col("advice", 0),
+            Col("advice", 1),
+            Col("advice", 2),
+            Col("advice", 0, phase=1),
+        ],
+    )
+    a, b, c = spec.advice(0), spec.advice(1), spec.advice(2)
+    acc = spec.advice(0, phase=1)
+    q, q0, q_l, q_r, T = (spec.fixed(i) for i in range(5))
+    chi = spec.user_challenge(0)
+    spec.gates = [
+        q * (a + b - c),
+        q * (acc - (a + chi * b)),  # phase-1 witness depends on phase-0 challenge
+        q0 * (a - spec.instance(0)),  # public input binding
+        q_r * (spec.advice(0, rot=1) - b),  # rotation gate: a(wX) = b
+    ]
+    spec.lookups = [Lookup(input_exprs=[q_l * a], table_exprs=[T])]
+    assert spec.gate_degree == 5 and spec.num_perm_z == 2  # chunked chaining
+    return spec
+
+
+def make_assignment(spec: CircuitSpec) -> Assignment:
+    u = spec.usable_rows
+    a = [(r * 3 + 1) % R for r in range(N)]
+    b = [(r * 7 + 2) % R for r in range(N)]
+    a[1] = (a[0] + b[0]) % R  # copy target: a[1] = c[0]
+    for r in range(30, 41):
+        a[r + 1] = b[r]  # rotation gate rows
+    a[6], b[6] = a[5], b[5]  # make acc[5] == acc[6] for any chi
+    c = [(a[r] + b[r]) % R for r in range(N)]
+    b[2] = c[1]  # copy target: b[2] = c[1]
+    c[2] = (a[2] + b[2]) % R
+    for col in (a, b, c):
+        for r in range(u, N):
+            col[r] = 0
+
+    q = [1 if r < u else 0 for r in range(N)]
+    q0 = [1 if r == 0 else 0 for r in range(N)]
+    q_l = [1 if r < 10 else 0 for r in range(N)]
+    q_r = [1 if 30 <= r <= 40 else 0 for r in range(N)]
+    T = [r if r < u else 0 for r in range(N)]
+    assert all(a[r] < u for r in range(10)), "lookup inputs must be in table"
+
+    def phase1(challenges):
+        chi = challenges[0]
+        return [[(a[r] + chi * b[r]) % R if r < u else 0 for r in range(N)]]
+
+    A, B, C, ACC = (
+        Col("advice", 0),
+        Col("advice", 1),
+        Col("advice", 2),
+        Col("advice", 0, phase=1),
+    )
+    return Assignment(
+        spec=spec,
+        fixed=[q, q0, q_l, q_r, T],
+        advice_phases=[[a, b, c], phase1],
+        instance=[[a[0]]],
+        copies=[
+            ((C, 0), (A, 1)),
+            ((B, 2), (C, 1)),
+            ((A, 5), (A, 6)),
+            ((B, 5), (B, 6)),
+            ((ACC, 5), (ACC, 6)),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    srs = toy_srs(8 * N)
+    spec = make_spec()
+    asg = make_assignment(spec)
+    protocol = compile_protocol(spec, asg.fixed, asg.copies, srs)
+    return srs, spec, asg, protocol
+
+
+def test_protocol_shape(setup):
+    _, spec, _, protocol = setup
+    assert protocol.num_witness == [3, 1, 2, 4]
+    assert protocol.num_challenge == [1, 1, 2, 1]  # chi, theta, (beta,gamma), alpha
+    assert protocol.quotient.num_chunk() == 4
+    assert len(protocol.preprocessed) == 9  # 5 fixed + 4 sigma
+
+
+def test_protocol_json_roundtrip(setup):
+    from snark_verifier_tpu.verifier.plonk.protocol import PlonkProtocol
+
+    _, _, _, protocol = setup
+    again = PlonkProtocol.from_json(protocol.to_json())
+    assert again.content_hash() == protocol.content_hash()
+
+
+@pytest.mark.parametrize("scheme", ["shplonk", "gwc"])
+def test_accepts_valid_proof(setup, scheme):
+    srs, spec, asg, protocol = setup
+    snark = gen_snark(asg, protocol, srs, scheme=scheme)
+    oks = batch_verify([snark], srs, scheme)
+    assert bool(oks.all()), f"valid vanilla-PLONK proof must verify ({scheme})"
+
+
+def test_rejects_wrong_instance(setup):
+    srs, spec, asg, protocol = setup
+    snark = gen_snark(asg, protocol, srs, scheme="shplonk")
+    snark.instances[0][0] = (snark.instances[0][0] + 1) % R
+    oks = batch_verify([snark], srs, "shplonk")
+    assert not bool(oks.any())
+
+
+def test_rejects_tampered_evaluation(setup):
+    srs, spec, asg, protocol = setup
+    snark = gen_snark(asg, protocol, srs, scheme="shplonk")
+    snark.scalars[3] = (snark.scalars[3] + 1) % R
+    oks = batch_verify([snark], srs, "shplonk")
+    assert not bool(oks.any())
+
+
+def test_rejects_unsatisfied_copy(setup):
+    """Proving with a broken copy constraint must fail in the prover (the
+    grand product doesn't telescope)."""
+    srs, spec, asg, protocol = setup
+    bad = make_assignment(spec)
+    bad.advice_phases[0][0][1] = (bad.advice_phases[0][0][1] + 1) % R  # a[1] != c[0]
+    bad.advice_phases[0][2][1] = (bad.advice_phases[0][0][1] + bad.advice_phases[0][1][1]) % R
+    with pytest.raises(AssertionError):
+        gen_snark(bad, protocol, srs, scheme="shplonk")
+
+
+def test_rejects_lookup_violation(setup):
+    srs, spec, asg, protocol = setup
+    bad = make_assignment(spec)
+    # put a value outside the table into a lookup-selected row; keep the
+    # arithmetic gate satisfied by fixing c
+    bad.advice_phases[0][0][9] = 1000  # > usable_rows, not in T
+    bad.advice_phases[0][2][9] = (1000 + bad.advice_phases[0][1][9]) % R
+    with pytest.raises(ValueError, match="not in table"):
+        gen_snark(bad, protocol, srs, scheme="shplonk")
