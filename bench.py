@@ -82,10 +82,15 @@ def bench_verify():
     def sync(x):
         np_.asarray(jax.device_get(x.ravel()[:1]))
 
+    from snark_verifier_tpu.utils.timing import METER
+
     t0 = time.time()
+    METER.start("verify_trace")
     oks = batch_verify_sharded(snarks, srs, mesh, "shplonk")
+    METER.end("verify_trace")
     sync(oks)
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# cost-meter: {METER.report()}", file=sys.stderr)
     ok = bool(np_.asarray(oks).all())
 
     times = []

@@ -107,12 +107,23 @@ def main(argv=None):
     b.add_argument("--backend", default="rns", choices=["rns", "limb"])
 
     args = ap.parse_args(argv)
-    {
-        "verify": cmd_verify,
-        "aggregate": cmd_aggregate,
-        "tree": cmd_tree,
-        "bench-msm": cmd_bench_msm,
-    }[args.cmd](args)
+    from snark_verifier_tpu.utils.timing import METER
+
+    METER.start(args.cmd)
+    try:
+        {
+            "verify": cmd_verify,
+            "aggregate": cmd_aggregate,
+            "tree": cmd_tree,
+            "bench-msm": cmd_bench_msm,
+        }[args.cmd](args)
+    finally:
+        METER.end(args.cmd)
+        rep = METER.report()
+        if rep:
+            # per-span symbolic work counts — the gas-log analogue
+            # (reference loader/evm/loader.rs:424-441)
+            print(f"# cost-meter\n# {rep}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,7 @@ point axis, run this kernel per device, tree-add the per-device results.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -43,6 +44,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ec.g1 import G1
+
+
+def _pallas_fold_default() -> bool:
+    """Fused Pallas bucket fold: on for real TPU backends (where Mosaic
+    compiles natively), off on CPU (interpret mode is test-only).  Override
+    with MSM_PALLAS_FOLD=0/1."""
+    env = os.environ.get("MSM_PALLAS_FOLD")
+    if env is not None:
+        return env not in ("", "0")
+    return jax.default_backend() not in ("cpu",)
 
 C_BITS = 8  # default window size for the positional backend
 SCALAR_BITS = 256
@@ -193,6 +204,28 @@ def _bucket_accumulate(curve, points_ext, idx, capacity: int, stop: int = 1):
     return _tree_fold_flat(curve, mat, capacity, stop=stop)
 
 
+def _fold_buckets_pallas(curve, points_ext, idx, interpret: bool = False):
+    """Gather + WHOLE-tree fold in one Pallas kernel (RNS backend only):
+    (n_buckets, capacity) slot indices -> (n_buckets,) + elem bucket sums.
+    The gather stays in XLA (its row-gather lowering beats per-row DMA);
+    the fold runs entirely in VMEM (msm/pallas_ops.fold_buckets)."""
+    from .pallas_ops import fold_buckets
+
+    nb, cap = idx.shape
+    flat = points_ext.reshape(points_ext.shape[0], -1)  # (n+1, 105) u16
+    mat = jnp.take(flat, idx, axis=0)  # (nb, cap, 105)
+    # block size: bb buckets per program, bb*cap*210B <= ~3.5MB VMEM
+    bb = max(1, min(8, (3_500_000 // max(1, cap * 210))))
+    while nb % bb and bb > 1:
+        bb -= 1
+    pad = (-nb) % bb
+    if pad:
+        sentinel = jnp.broadcast_to(mat[-1:, -1:], (pad, cap, mat.shape[-1]))
+        mat = jnp.concatenate([mat, sentinel], 0)
+    out = fold_buckets(mat, bb=bb, interpret=interpret)[:nb]
+    return out.reshape((nb,) + points_ext.shape[1:])
+
+
 def _slot_indices(digits, n_buckets: int, capacity: int):
     """Batched slot assignment for a stack of windows.
 
@@ -249,7 +282,8 @@ def _horner(curve, wsums, c: int):
     return acc
 
 
-def _msm_engine(curve, points_ext, scalars_u16, c: int, capacity: int):
+def _msm_engine(curve, points_ext, scalars_u16, c: int, capacity: int,
+                pallas_fold: bool = False, interpret: bool = False):
     """Generic Pippenger over any CurveOps backend.  points_ext includes the
     infinity sentinel at index n."""
     n = points_ext.shape[0] - 1
@@ -257,31 +291,42 @@ def _msm_engine(curve, points_ext, scalars_u16, c: int, capacity: int):
     digits = extract_digits(scalars_u16, c)  # (W, n)
 
     idx_all, overflow = _slot_indices(digits[:-1], n_buckets, capacity)
+    elem_shape = points_ext.shape[1:]
 
-    def acc_body(_, idx_w):
-        part, _w = _bucket_accumulate(
-            curve, points_ext, idx_w, capacity, stop=_FOLD_STOP
-        )
-        return None, part
-
-    _, parts = jax.lax.scan(acc_body, None, idx_all)  # (W-1, nb, w1, ...)
     # Top window separately: its digit range is [0, p >> c*(W-1)], so its
     # buckets carry far more points each — its own (smaller, taller) matrix.
     trange = top_range(c)
     tcap = max(capacity, top_capacity(n, c))
     top_idx, top_o = _slot_indices(digits[-1:], trange, tcap)
-    top_mat, _ = _bucket_accumulate(curve, points_ext, top_idx[0], tcap)
-    overflow = overflow | top_o
 
-    # Batch the main windows' deep fold levels together: one wide fold
-    # instead of W underutilized tails.  Unflatten points only at the end
-    # (the bucket arrays are tiny).
-    elem_shape = points_ext.shape[1:]
-    wm1, _, w1, flat_elem = parts.shape
-    tail = parts.reshape(wm1 * n_buckets, w1, flat_elem)
-    folded, _ = _tree_fold_flat(curve, tail, w1)
-    buckets = folded[:, 0].reshape((wm1, n_buckets) + elem_shape)
-    top_b = top_mat[:, 0].reshape((trange,) + elem_shape)
+    if pallas_fold:
+        def acc_body(_, idx_w):
+            return None, _fold_buckets_pallas(curve, points_ext, idx_w,
+                                              interpret=interpret)
+
+        _, buckets = jax.lax.scan(acc_body, None, idx_all)  # (W-1, nb, ...)
+        top_b = _fold_buckets_pallas(curve, points_ext, top_idx[0],
+                                     interpret=interpret)
+        overflow = overflow | top_o
+    else:
+        def acc_body(_, idx_w):
+            part, _w = _bucket_accumulate(
+                curve, points_ext, idx_w, capacity, stop=_FOLD_STOP
+            )
+            return None, part
+
+        _, parts = jax.lax.scan(acc_body, None, idx_all)  # (W-1, nb, w1, ...)
+        top_mat, _ = _bucket_accumulate(curve, points_ext, top_idx[0], tcap)
+        overflow = overflow | top_o
+
+        # Batch the main windows' deep fold levels together: one wide fold
+        # instead of W underutilized tails.  Unflatten points only at the end
+        # (the bucket arrays are tiny).
+        wm1, _, w1, flat_elem = parts.shape
+        tail = parts.reshape(wm1 * n_buckets, w1, flat_elem)
+        folded, _ = _tree_fold_flat(curve, tail, w1)
+        buckets = folded[:, 0].reshape((wm1, n_buckets) + elem_shape)
+        top_b = top_mat[:, 0].reshape((trange,) + elem_shape)
 
     wsums = _weighted_bucket_sum(curve, buckets)  # (W-1, ...)
     top_sum = _weighted_bucket_sum(curve, top_b[None])  # (1, ...)
@@ -321,20 +366,32 @@ def msm(points, scalars_u16, capacity: Optional[int] = None, c: int = C_BITS):
     return _msm_engine(G1, points_ext, scalars_u16, c, capacity)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "c"))
-def msm_rns(points, scalars_u16, capacity: Optional[int] = None, c: int = C_BITS):
-    """Σ sᵢ·Pᵢ over the RNS/MXU backend (~2x faster per EC add; the default
-    for large n).  Same interface as `msm`: positional points in, positional
-    (3,16) result out; the RNS conversion happens on-device."""
+@functools.partial(jax.jit, static_argnames=("capacity", "c", "pallas_fold",
+                                              "interpret"))
+def _msm_rns_jit(points, scalars_u16, capacity: int, c: int,
+                 pallas_fold: bool, interpret: bool):
     from ..ec.rns_g1 import G1R, from_rns, to_rns
 
+    points_ext = jnp.concatenate([to_rns(points), G1R.infinity((1,))], axis=0)
+    out, ovf = _msm_engine(G1R, points_ext, scalars_u16, c, capacity,
+                           pallas_fold=pallas_fold, interpret=interpret)
+    return from_rns(out), ovf
+
+
+def msm_rns(points, scalars_u16, capacity: Optional[int] = None, c: int = C_BITS,
+            pallas_fold: Optional[bool] = None, interpret: bool = False):
+    """Σ sᵢ·Pᵢ over the RNS/MXU backend (~2x faster per EC add; the default
+    for large n).  Same interface as `msm`: positional points in, positional
+    (3,16) result out; the RNS conversion happens on-device.  On TPU the
+    bucket fold runs as a fused Pallas kernel (pallas_fold; see
+    _pallas_fold_default)."""
     points, scalars_u16 = _pad_to_block(points, scalars_u16)
     n = points.shape[0]
     if capacity is None:
         capacity = default_capacity(n, 1 << c)
-    points_ext = jnp.concatenate([to_rns(points), G1R.infinity((1,))], axis=0)
-    out, ovf = _msm_engine(G1R, points_ext, scalars_u16, c, capacity)
-    return from_rns(out), ovf
+    if pallas_fold is None:
+        pallas_fold = _pallas_fold_default()
+    return _msm_rns_jit(points, scalars_u16, capacity, c, pallas_fold, interpret)
 
 
 def scalars_from_int(ints):
