@@ -199,13 +199,26 @@ class CurveOps:
         verify-path sizes."""
         import jax
 
+        import jax
+
         n_axis = pts.ndim - 2 - self.edims  # axis holding the base count
         # multiples table T[d] = d·pt, d = 0..2^c-1: stacked at a new axis
-        # right after the base axis -> (..., n, 2^c, 3) + elem
-        tab = [self.infinity(self.batch_shape(pts)), pts]
-        for _ in range(2 ** c - 2):
-            tab.append(self.add(tab[-1], pts))
-        tab = jnp.stack(tab, axis=n_axis + 1)
+        # right after the base axis -> (..., n, 2^c, 3) + elem.  Built as a
+        # scan (one compiled add body), not an unrolled chain — keeps the
+        # verify-graph compile surface small.
+        def tab_body(acc, _):
+            nxt = self.add(acc, pts)
+            return nxt, nxt
+
+        inf = self.infinity(self.batch_shape(pts))
+        _, rest = jax.lax.scan(tab_body, pts, None, length=2 ** c - 2)
+        rest = jnp.moveaxis(rest, 0, n_axis + 1)
+        tab = jnp.concatenate(
+            [inf[..., None, :, :] if self.edims == 1 else inf[..., None, :, :, :],
+             pts[..., None, :, :] if self.edims == 1 else pts[..., None, :, :, :],
+             rest],
+            axis=n_axis + 1,
+        )
 
         def body(acc, dig):
             for _ in range(c):

@@ -182,6 +182,28 @@ def add(a, b, tile: int = 256):
     return jnp.stack(outs, axis=1)
 
 
+def _rc15_add_nocat(F, x1, y1, z1, x2, y2, z2):
+    """RC15 complete add with per-product field muls (no row concatenation):
+    Mosaic's concatenate can't fuse large odd-sized i16 vectors with offset
+    layouts, and at fold row counts each product is already wide enough to
+    saturate the units.  Same math as _rc15_add_2d/CurveOps.add."""
+    t0 = F.mul(x1, x2)
+    t1 = F.mul(y1, y2)
+    t2 = F.mul(z1, z2)
+    t3 = F.sub(F.mul(F.add(x1, y1), F.add(x2, y2)), F.add(t0, t1))
+    t4 = F.sub(F.mul(F.add(y1, z1), F.add(y2, z2)), F.add(t1, t2))
+    ty = F.sub(F.mul(F.add(x1, z1), F.add(x2, z2)), F.add(t0, t2))
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_small(t2, 3 * BN254_B)
+    z3l = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    yb = F.mul_small(ty, 3 * BN254_B)
+    x3 = F.sub(F.mul(t3, t1m), F.mul(t4, yb))
+    y3 = F.add(F.mul(t1m, z3l), F.mul(yb, t0_3))
+    z3 = F.add(F.mul(z3l, t4), F.mul(t0_3, t3))
+    return x3, y3, z3
+
+
 def _fold_kernel(bb: int, cap: int, width_lanes: int = 35):
     """Whole-tree bucket fold in VMEM: block of `bb` buckets x `cap` slots of
     flat (3*35 u16) RNS points -> one point per bucket, with every
@@ -202,7 +224,7 @@ def _fold_kernel(bb: int, cap: int, width_lanes: int = 35):
         while width > 1:
             half = width // 2
             flat = lambda a, lo, n: a[:, lo : lo + n].reshape(bb * n, L)
-            x3, y3, z3 = _rc15_add_2d(
+            x3, y3, z3 = _rc15_add_nocat(
                 F,
                 flat(x, 0, half), flat(y, 0, half), flat(z, 0, half),
                 flat(x, half, half), flat(y, half, half), flat(z, half, half),
