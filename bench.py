@@ -55,9 +55,13 @@ def gen_points(n):
 
 
 def bench_verify():
-    """BENCH_MODE=verify: proofs verified/sec at batch BENCH_BATCH."""
+    """BENCH_MODE=verify: proofs verified/sec at batch BENCH_BATCH.
+    BENCH_K (default 10) sets the circuit size — the verify graph itself is
+    k-independent (commitment count, not domain size, drives the work), but
+    k >= 10 keeps the proof shapes honest vs the reference's workloads."""
     B = int(os.environ.get("BENCH_BATCH", "64"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    k = int(os.environ.get("BENCH_K", "10"))
     import jax
     import numpy as np_
 
@@ -69,8 +73,8 @@ def bench_verify():
         gen_snark,
     )
 
-    srs = toy_srs(32)
-    circuit = StandardPlonk.rand(k=3, seed=1)
+    srs = toy_srs(max(32, 2 << k))
+    circuit = StandardPlonk.rand(k=k, seed=1)
     protocol = build_protocol(circuit, srs)
     t0 = time.time()
     snark = gen_snark(circuit, protocol, srs, scheme="shplonk")

@@ -204,68 +204,77 @@ def _rc15_add_nocat(F, x1, y1, z1, x2, y2, z2):
     return x3, y3, z3
 
 
-def _fold_kernel(bb: int, cap: int, width_lanes: int = 35):
-    """Whole-tree bucket fold in VMEM: block of `bb` buckets x `cap` slots of
-    flat (3*35 u16) RNS points -> one point per bucket, with every
-    intermediate level resident in VMEM.  This removes the per-level HBM
-    round-trips (slices/concats/copies) that made the XLA tree fold run at
-    ~3.9M adds/s vs the ~15M adds/s resident add rate (PERFNOTES trace:
-    reshapes 1.7s + copies 0.9s + gather overhead per 2^20 MSM)."""
-    L = width_lanes
+def _fold_level_kernel(bb: int, w: int, K: int, L: int = 35):
+    """One K-way fold level: block (bb, w, 105) -> (bb, w//K, 105) with the
+    K-slot tree (log2 K unrolled add layers) entirely in VMEM."""
 
     def kernel(*refs):
         *const_refs, mat_ref, out_ref = refs
         F = _kernel_field(const_refs)
-        buf = mat_ref[:]  # (bb, cap, 105)
-        x = buf[..., 0 * L : 1 * L]
-        y = buf[..., 1 * L : 2 * L]
-        z = buf[..., 2 * L : 3 * L]
-        width = cap
+        buf = mat_ref[:]  # (bb, w, 105)
+        g = w // K
+        cs = [buf[..., i * L : (i + 1) * L].reshape(bb * g, K, L) for i in range(3)]
+        width = K
         while width > 1:
             half = width // 2
-            flat = lambda a, lo, n: a[:, lo : lo + n].reshape(bb * n, L)
-            x3, y3, z3 = _rc15_add_nocat(
-                F,
-                flat(x, 0, half), flat(y, 0, half), flat(z, 0, half),
-                flat(x, half, half), flat(y, half, half), flat(z, half, half),
-            )
-            x3 = x3.reshape(bb, half, L)
-            y3 = y3.reshape(bb, half, L)
-            z3 = z3.reshape(bb, half, L)
-            if width % 2:
-                x = jnp.concatenate([x3, x[:, 2 * half : width]], 1)
-                y = jnp.concatenate([y3, y[:, 2 * half : width]], 1)
-                z = jnp.concatenate([z3, z[:, 2 * half : width]], 1)
-            else:
-                x, y, z = x3, y3, z3
-            width = half + (width % 2)
-        out_ref[0] = jnp.concatenate([x[:, 0], y[:, 0], z[:, 0]], axis=-1)
+            lo = [c[:, :half].reshape(-1, L) for c in cs]
+            hi = [c[:, half : 2 * half].reshape(-1, L) for c in cs]
+            cs = [
+                c.reshape(bb * g, half, L)
+                for c in _rc15_add_nocat(F, *lo, *hi)
+            ]
+            width = half
+        out_ref[:] = jnp.concatenate(
+            [c.reshape(bb, g, L) for c in cs], axis=-1
+        )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("bb", "interpret"))
-def fold_buckets(mat, bb: int = 4, interpret: bool = False):
-    """(NB, cap, 105) u16 flat RNS bucket matrices -> (NB, 105) bucket sums.
-    NB must be a multiple of bb.  Block VMEM footprint is bb*cap*210B —
-    pick bb so that stays under ~4MB."""
-    NB, cap, FL = mat.shape
-    assert FL == 105 and NB % bb == 0, (mat.shape, bb)
+def _pallas_fold_level(mat, K: int, interpret: bool = False):
+    """(NB, w, 105) -> (NB, w/K, 105); w must be a multiple of K."""
+    NB, w, FL = mat.shape
+    g = w // K
+    assert g * K == w
+    bb = max(1, min(NB, 3_500_000 // max(1, w * 210)))
+    while NB % bb:
+        bb -= 1
     consts = _consts_host()
-    # 3D output (grid, bb, 105) with a (1, bb, 105) block: Mosaic requires the
-    # trailing two block dims to equal the array dims (105 is not 128-aligned)
     out = pl.pallas_call(
-        _fold_kernel(bb, cap),
-        out_shape=jax.ShapeDtypeStruct((NB // bb, bb, FL), jnp.uint16),
+        _fold_level_kernel(bb, w, K),
+        out_shape=jax.ShapeDtypeStruct((NB, g, FL), jnp.uint16),
         grid=(NB // bb,),
         in_specs=_const_specs()
-        + [pl.BlockSpec((bb, cap, FL), lambda i: (i, 0, 0),
+        + [pl.BlockSpec((bb, w, FL), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, bb, FL), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bb, g, FL), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*consts, mat)
-    return out.reshape(NB, FL)
+    return out
+
+
+def fold_buckets_chunked(mat, identity_row, K: int = 8,
+                         interpret: bool = False):
+    """(NB, cap, 105) u16 flat RNS bucket matrices -> (NB, 105) bucket sums,
+    as a chain of small K-way Pallas fold levels (each level's tree runs in
+    VMEM; between levels the array shrinks Kx, so HBM traffic is a geometric
+    tail).  A single whole-tree kernel is NOT viable: its unrolled ~12-level
+    Mosaic program killed the remote compile service outright.
+
+    identity_row: (105,) u16 — the RNS-Montgomery (0:1:0) used to pad widths
+    to a multiple of K."""
+    NB, cap, FL = mat.shape
+    w = cap
+    while w > 1:
+        pad = (-w) % K
+        if pad:
+            fill = jnp.broadcast_to(identity_row, (NB, pad, FL))
+            mat = jnp.concatenate([mat, fill], axis=1)
+            w += pad
+        mat = _pallas_fold_level(mat, K, interpret=interpret)
+        w //= K
+    return mat[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

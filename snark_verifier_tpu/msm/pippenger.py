@@ -47,13 +47,19 @@ from ..ec.g1 import G1
 
 
 def _pallas_fold_default() -> bool:
-    """Fused Pallas bucket fold: on for real TPU backends (where Mosaic
-    compiles natively), off on CPU (interpret mode is test-only).  Override
-    with MSM_PALLAS_FOLD=0/1."""
+    """Fused Pallas bucket fold (opt-in: MSM_PALLAS_FOLD=1).
+
+    Default OFF: the kernels are bit-exact (interpret-mode gated in
+    tests/test_msm.py) but this image's remote Mosaic/XLA compile service
+    cannot compile the production 2^20 shapes — a monolithic whole-tree
+    kernel crashed it outright ('Unexpected EOF'), a scanned variant OOM-
+    killed it (SIGKILL), and the host-orchestrated chunked variant still
+    exceeded a 50-minute compile budget.  See PERFNOTES.md round-2 notes;
+    re-enable when a native Mosaic toolchain is available."""
     env = os.environ.get("MSM_PALLAS_FOLD")
     if env is not None:
         return env not in ("", "0")
-    return jax.default_backend() not in ("cpu",)
+    return False
 
 C_BITS = 8  # default window size for the positional backend
 SCALAR_BITS = 256
@@ -209,20 +215,13 @@ def _fold_buckets_pallas(curve, points_ext, idx, interpret: bool = False):
     (n_buckets, capacity) slot indices -> (n_buckets,) + elem bucket sums.
     The gather stays in XLA (its row-gather lowering beats per-row DMA);
     the fold runs entirely in VMEM (msm/pallas_ops.fold_buckets)."""
-    from .pallas_ops import fold_buckets
+    from .pallas_ops import fold_buckets_chunked
 
     nb, cap = idx.shape
     flat = points_ext.reshape(points_ext.shape[0], -1)  # (n+1, 105) u16
     mat = jnp.take(flat, idx, axis=0)  # (nb, cap, 105)
-    # block size: bb buckets per program, bb*cap*210B <= ~3.5MB VMEM
-    bb = max(1, min(8, (3_500_000 // max(1, cap * 210))))
-    while nb % bb and bb > 1:
-        bb -= 1
-    pad = (-nb) % bb
-    if pad:
-        sentinel = jnp.broadcast_to(mat[-1:, -1:], (pad, cap, mat.shape[-1]))
-        mat = jnp.concatenate([mat, sentinel], 0)
-    out = fold_buckets(mat, bb=bb, interpret=interpret)[:nb]
+    identity_row = curve.infinity().reshape(-1)  # RNS-Montgomery (0:1:0)
+    out = fold_buckets_chunked(mat, identity_row, interpret=interpret)
     return out.reshape((nb,) + points_ext.shape[1:])
 
 
@@ -391,7 +390,69 @@ def msm_rns(points, scalars_u16, capacity: Optional[int] = None, c: int = C_BITS
         capacity = default_capacity(n, 1 << c)
     if pallas_fold is None:
         pallas_fold = _pallas_fold_default()
-    return _msm_rns_jit(points, scalars_u16, capacity, c, pallas_fold, interpret)
+    if pallas_fold:
+        return _msm_rns_pallas_host(points, scalars_u16, capacity, c, interpret)
+    return _msm_rns_jit(points, scalars_u16, capacity, c, False, False)
+
+
+# Host-orchestrated Pallas variant: one monolithic jit (31-window scan with
+# in-scan Mosaic kernels) OOM-kills the remote compile helper, so the MSM is
+# split into three small modules — prep (digits + the one batched scatter),
+# a per-window gather+fold (shared shape: compiled once, dispatched W-1
+# times), and the combine (weighted bucket sums + Horner).  Dispatch cost is
+# ~W tunnel round-trips, noise next to the multi-second fold work.
+
+_PALLAS_JITS: dict = {}
+
+
+def _pjit(key, fn, **kw):
+    f = _PALLAS_JITS.get(key)
+    if f is None:
+        f = jax.jit(fn, **kw)
+        _PALLAS_JITS[key] = f
+    return f
+
+
+def _msm_rns_pallas_host(points, scalars_u16, capacity: int, c: int,
+                         interpret: bool):
+    from ..ec.rns_g1 import G1R, from_rns, to_rns
+
+    n = points.shape[0]
+    n_buckets = 1 << c
+    trange = top_range(c)
+    tcap = max(capacity, top_capacity(n, c))
+
+    def prep(points, scalars_u16):
+        points_ext = jnp.concatenate([to_rns(points), G1R.infinity((1,))], 0)
+        digits = extract_digits(scalars_u16, c)
+        idx_all, overflow = _slot_indices(digits[:-1], n_buckets, capacity)
+        top_idx, top_o = _slot_indices(digits[-1:], trange, tcap)
+        return points_ext, idx_all, top_idx[0], overflow | top_o
+
+    points_ext, idx_all, top_idx, overflow = _pjit(
+        ("prep", n, capacity, c), prep
+    )(points, scalars_u16)
+
+    fold_w = _pjit(
+        ("fold", n, capacity, c, interpret),
+        lambda pe, idx: _fold_buckets_pallas(G1R, pe, idx, interpret=interpret),
+    )
+    buckets = [fold_w(points_ext, idx_all[w]) for w in range(idx_all.shape[0])]
+    top_b = _pjit(
+        ("fold", n, tcap, c, interpret, "top"),
+        lambda pe, idx: _fold_buckets_pallas(G1R, pe, idx, interpret=interpret),
+    )(points_ext, top_idx)
+
+    def combine(buckets, top_b):
+        wsums = _weighted_bucket_sum(G1R, buckets)
+        top_sum = _weighted_bucket_sum(G1R, top_b[None])
+        wsums = jnp.concatenate([wsums, top_sum], axis=0)
+        return from_rns(_horner(G1R, wsums, c))
+
+    out = _pjit(("combine", n_buckets, trange, c), combine)(
+        jnp.stack(buckets, 0), top_b
+    )
+    return out, overflow
 
 
 def scalars_from_int(ints):

@@ -100,6 +100,8 @@ class PrecomputedChallengeTranscript:
     def squeeze_challenge(self):
         c = self._challenges[self._ci]
         self._ci += 1
+        if hasattr(c, "dtype"):  # already a device scalar (jit-traceable arg)
+            return c
         if isinstance(c, (list, tuple)):
             return FR_FIELD.from_int(list(c))
         v = FR_FIELD.from_int(c)

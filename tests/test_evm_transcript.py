@@ -72,21 +72,28 @@ def test_plonk_e2e_with_evm_transcript():
     tv.read_ec_point()  # W'
     assert tv.challenges == t.challenges  # prover/verifier replay agree
 
-    # device half with precomputed challenges
+    # device half with precomputed challenges.  The whole read+verify+decide
+    # is ONE jitted function with the challenge sequence as a traced array:
+    # eager verification dispatches hundreds of tiny compiles, which both
+    # crawls and (observed) can segfault XLA:CPU mid-suite.
     sc = jnp.stack([FR_FIELD.from_int(s) for s in scalars], 0)
     pts = from_affine_int(points)[:, :2, :]
-    td = PrecomputedChallengeTranscript(sc, pts, tv.challenges)
     instances = [[FR_FIELD.from_int(v) for v in circuit.instance]]
-    proof = PlonkSuccinctVerifier.read_proof(protocol, instances, td, Bdfg21)
-    accs = PlonkSuccinctVerifier.verify(srs.g_dev, protocol, instances, proof, Bdfg21)
-    ok = jax.jit(lambda a: decide_all(srs, a))(accs)
-    assert bool(ok.all())
+
+    @jax.jit
+    def run(sc, pts, chals):
+        td = PrecomputedChallengeTranscript(sc, pts, list(chals))
+        proof = PlonkSuccinctVerifier.read_proof(protocol, instances, td, Bdfg21)
+        accs = PlonkSuccinctVerifier.verify(
+            srs.g_dev, protocol, instances, proof, Bdfg21
+        )
+        return decide_all(srs, accs)
+
+    chals = jnp.stack([FR_FIELD.from_int(c) for c in tv.challenges], 0)
+    assert bool(run(sc, pts, chals).all())
 
     # wrong challenge sequence (tampered host replay) must fail
     bad = list(tv.challenges)
     bad[0] = (bad[0] + 1) % FR.p
-    td2 = PrecomputedChallengeTranscript(sc, pts, bad)
-    proof2 = PlonkSuccinctVerifier.read_proof(protocol, instances, td2, Bdfg21)
-    accs2 = PlonkSuccinctVerifier.verify(srs.g_dev, protocol, instances, proof2, Bdfg21)
-    ok2 = jax.jit(lambda a: decide_all(srs, a))(accs2)
-    assert not bool(ok2.all())
+    bad_chals = jnp.stack([FR_FIELD.from_int(c) for c in bad], 0)
+    assert not bool(run(sc, pts, bad_chals).all())

@@ -72,3 +72,25 @@ def test_msm_sharded_matches_single():
     out, ovf = msm_sharded(dev, sc, mesh)
     assert not bool(ovf)
     assert to_affine_int(out) == py_ec.msm(pts, ks)
+
+
+def test_msm_pallas_fold_interpret_matches():
+    """The Pallas fused bucket-fold path (msm/pallas_ops.fold_buckets_chunked
+    driven by msm_rns(pallas_fold=True)) is bit-exact vs the python oracle,
+    gated in interpret mode (the remote Mosaic service can't compile the
+    production shapes — PERFNOTES round-2; the math is target-independent)."""
+    from snark_verifier_tpu.msm.pippenger import msm_rns
+
+    n = 512
+    pts, ks = _case(8, seed=33)
+    pts = [pts[i % 8] for i in range(n)]
+    import random
+
+    rng = random.Random(34)
+    ks = [rng.randrange(1 << 254) for _ in range(n)]
+    out, ovf = msm_rns(
+        from_affine_int(pts), scalars_from_int(ks), capacity=60,
+        pallas_fold=True, interpret=True,
+    )
+    assert not bool(ovf)
+    assert to_affine_int(out) == py_ec.msm(pts, ks)
