@@ -264,6 +264,9 @@ def fold_buckets_chunked(mat, identity_row, K: int = 8,
 
     identity_row: (105,) u16 — the RNS-Montgomery (0:1:0) used to pad widths
     to a multiple of K."""
+    # the in-kernel tree halves `width` each layer (lo=[:half], hi=[half:2h])
+    # and would silently DROP the tail slot for non-power-of-two K
+    assert K >= 2 and (K & (K - 1)) == 0, f"K={K} must be a power of two"
     NB, cap, FL = mat.shape
     w = cap
     while w > 1:

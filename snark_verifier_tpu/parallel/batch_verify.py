@@ -6,6 +6,13 @@ succinct-verify + decide pipeline runs data-parallel: each device verifies
 its shard of proofs (identical protocol => identical program), no collectives
 needed until results are gathered.  Composes with point-sharded MSM
 (msm_sharded.py) for the two-axis (dp x tp) layout used in __graft_entry__.
+
+Compile-time structure: the pipeline is TWO jitted modules — sharded
+succinct-verify (transcript + linearization MSMs) and sharded decide
+(pairing) — instead of one monolith.  Two smaller XLA modules compile
+faster on weak hosts, persist better in the compile cache (the monolithic
+graph was the piece the cache kept missing, PERFNOTES round-2), and let the
+driver's multichip dryrun report per-phase wall times.
 """
 
 from __future__ import annotations
@@ -23,10 +30,22 @@ from ..sdk.aggregation import SCHEMES, _stack_instances, _stack_streams
 from ..transcript import PoseidonTranscript
 from ..verifier.plonk.verifier import PlonkSuccinctVerifier
 
+_FN_CACHE: dict = {}
 
-def batch_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
-                         scheme_name: str = "shplonk", axis_name: str = "batch"):
-    """-> (B,) bool array; B must divide by the mesh axis size."""
+
+def _cached(key, build):
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _FN_CACHE[key] = fn
+    return fn
+
+
+def batch_succinct_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
+                                  scheme_name: str = "shplonk",
+                                  axis_name: str = "batch"):
+    """Batch-sharded succinct verification -> list of (lhs, rhs) accumulator
+    pairs, each (B, 3, 16) sharded over the mesh axis."""
     assert snarks
     protocol = snarks[0].protocol
     scheme = SCHEMES[scheme_name]
@@ -55,26 +74,65 @@ def batch_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
         accs = PlonkSuccinctVerifier.verify(
             srs.g_dev, protocol, instances, proof, scheme
         )
-        return decide_all(srs, accs).all(axis=0)
+        # flatten accumulators into one array: (n_accs, 2, Bl, 3, 16)
+        return jnp.stack(
+            [jnp.stack([l, r], 0) for (l, r) in accs], 0
+        )
 
     # Cache the jitted callable: re-wrapping in jax.jit per call would
     # re-trace the whole verifier graph every time (tens of seconds of
     # host work at batch 256).
-    key = (protocol.content_hash(), srs.content_hash(), scheme_name, axis_name,
-           mesh, sc.shape, pts.shape, flat_inst.shape)
-    fn = _FN_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(
-            shard_map(
-                local,
-                mesh=mesh,
-                in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-                out_specs=P(axis_name),
-                check_vma=False,
-            )
+    key = ("succinct", protocol.content_hash(), srs.content_hash(),
+           scheme_name, axis_name, mesh, sc.shape, pts.shape, flat_inst.shape)
+    fn = _cached(key, lambda: jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=P(None, None, axis_name),
+            check_vma=False,
         )
-        _FN_CACHE[key] = fn
-    return fn(sc, pts, flat_inst)
+    ))
+    accs = fn(sc, pts, flat_inst)
+    return [(accs[i, 0], accs[i, 1]) for i in range(accs.shape[0])]
 
 
-_FN_CACHE: dict = {}
+def batch_decide_sharded(accumulators: List, srs, mesh: Mesh,
+                         axis_name: str = "batch"):
+    """Sharded pairing decide over stacked accumulators -> (B,) bool."""
+    lhs = jnp.stack([a[0] for a in accumulators], 0)  # (n_accs, B, 3, 16)
+    rhs = jnp.stack([a[1] for a in accumulators], 0)
+
+    def local(lhs_l, rhs_l):
+        accs = [(lhs_l[i], rhs_l[i]) for i in range(lhs_l.shape[0])]
+        return decide_all(srs, accs).all(axis=0)
+
+    key = ("decide", srs.content_hash(), axis_name, mesh, lhs.shape)
+    fn = _cached(key, lambda: jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis_name), P(None, axis_name)),
+            out_specs=P(axis_name),
+            check_vma=False,
+        )
+    ))
+    return fn(lhs, rhs)
+
+
+def batch_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
+                         scheme_name: str = "shplonk", axis_name: str = "batch",
+                         timings: dict = None):
+    """-> (B,) bool array; B must divide by the mesh axis size."""
+    import time
+
+    t0 = time.time()
+    accs = batch_succinct_verify_sharded(snarks, srs, mesh, scheme_name, axis_name)
+    jax.block_until_ready(accs)
+    t1 = time.time()
+    oks = batch_decide_sharded(accs, srs, mesh, axis_name)
+    oks.block_until_ready()
+    if timings is not None:
+        timings["succinct_s"] = round(t1 - t0, 1)
+        timings["decide_s"] = round(time.time() - t1, 1)
+    return oks

@@ -1,8 +1,8 @@
-"""KZG multi-open verifiers: GWC19 and BDFG21 (SHPLONK), device-side.
+"""KZG multi-open verifiers: GWC19 and BDFG21 (SHPLONK), loader-generic.
 
-Written against device Fr scalars / MsmExpr points with host-int query shifts
-(rotations are protocol constants), mirroring the math of the reference
-verbatim:
+Written against abstract loader scalars / lazy MSM expressions with host-int
+query shifts (rotations are protocol constants), mirroring the math of the
+reference verbatim:
 
   GWC19  — /root/reference/snark-verifier/src/pcs/kzg/multiopen/gwc19.rs:
     43-80: accumulator lhs = f + Σᵢ uⁱ·(z·ωᵢ)·Wᵢ, rhs = Σᵢ uⁱ·Wᵢ with
@@ -13,8 +13,10 @@ verbatim:
     query sets grouped by shift-set (:117-167), barycentric per-set coeffs
     with the two-phase batched inversion (:169-219, 271-366).
 
-Both return the deferred-pairing accumulator (lhs, rhs) evaluated through
-MsmExpr -> device kernels.  Everything batches over a proof-batch prefix.
+Both return the deferred-pairing accumulator (lhs, rhs) evaluated through the
+loader (device kernels under loader.DEVICE — batching over a proof-batch
+prefix — python-int oracles under loader.NATIVE, Yul emission under the EVM
+loader).
 """
 
 from __future__ import annotations
@@ -22,27 +24,33 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, List, Optional
 
-from ...ff import FR_FIELD
-from ...loader.msm_expr import MsmExpr
-
-FR = FR_FIELD
-
 
 @dataclass
 class Query:
     poly: int
     shift: int  # host int (rotation ω^k), canonical value mod r
-    eval: Any = None  # device Fr scalar once loaded
+    eval: Any = None  # loader scalar once loaded
 
 
 def powers(x, n: int) -> List:
-    """[1, x, ..., x^{n-1}] as device scalars (reference loader.rs:70-78)."""
+    """[1, x, ..., x^{n-1}] as device scalars (reference loader.rs:70-78).
+
+    Device-only convenience kept for the device-side KzgAs fold; generic code
+    uses L.powers."""
     import jax.numpy as jnp
+
+    from ...ff import FR_FIELD as FR
 
     out = [jnp.broadcast_to(FR.one, x.shape)]
     for _ in range(n - 1):
         out.append(FR.mul(out[-1], x))
     return out
+
+
+def _device_loader():
+    from ...loader.base import DEVICE
+
+    return DEVICE
 
 
 # ------------------------------------------------------------------- GWC19
@@ -72,37 +80,34 @@ class Gwc19:
         return {"v": v, "ws": ws, "u": u}
 
     @staticmethod
-    def verify(g, commitments: List[MsmExpr], z, queries: List[Query], proof):
-        """g: device generator; z: device Fr; returns (lhs, rhs) points."""
-        from ...ec.g1 import G1
-        from ...ec.curve import CurveOps  # noqa: F401  (doc reference)
-
+    def verify(g, commitments: List, z, queries: List[Query], proof, L=None):
+        """g: loader generator handle; z: loader Fr; -> (lhs, rhs) points."""
+        L = L or _device_loader()
         sets = gwc_query_sets(queries)
-        pow_u = powers(proof["u"], len(sets))
+        pow_u = L.powers(proof["u"], len(sets))
         max_polys = max(len(s[1]) for s in sets)
-        pow_v = powers(proof["v"], max_polys)
+        pow_v = L.powers(proof["v"], max_polys)
 
-        f = MsmExpr()
+        f = L.msm_zero()
         for (shift, polys, evals), pu in zip(sets, pow_u):
-            inner = MsmExpr()
+            inner = L.msm_zero()
             for (poly, ev), pv in zip(zip(polys, evals), pow_v):
-                inner = inner + (commitments[poly] - MsmExpr.constant(ev)) * pv
+                inner = inner + (commitments[poly] - L.msm_constant(ev)) * pv
             f = f + inner * pu
 
-        ws_aff = proof["ws"]  # affine (..., 2, 16) read from transcript
-        w_exprs = [MsmExpr.base(_affine_to_proj(w)) for w in ws_aff]
-        rhs_expr = MsmExpr()
+        w_exprs = [L.msm_base(w) for w in proof["ws"]]
+        rhs_expr = L.msm_zero()
         lhs_expr = f
         for (shift, _, _), pu, w in zip(sets, pow_u, w_exprs):
             uw = w * pu
             rhs_expr = rhs_expr + uw
-            z_omega = FR.mul(FR.from_int(shift), z)
+            z_omega = L.mul(L.scalar(shift), z)
             lhs_expr = lhs_expr + uw * z_omega
-        return lhs_expr.evaluate(g), rhs_expr.evaluate(g)
+        return L.msm_evaluate(lhs_expr, g), L.msm_evaluate(rhs_expr, g)
 
 
 def _affine_to_proj(xy):
-    """(..., 2, 16) affine Fq point -> (..., 3, 16) projective."""
+    """(..., 2, 16) affine Fq point -> (..., 3, 16) projective (device)."""
     import jax.numpy as jnp
 
     from ...ff import FQ_FIELD
@@ -155,20 +160,19 @@ class Bdfg21:
         return {"mu": mu, "gamma": gamma, "w": w, "z_prime": z_prime, "w_prime": w_prime}
 
     @staticmethod
-    def verify(g, commitments: List[MsmExpr], z, queries: List[Query], proof):
-        import jax.numpy as jnp
-
+    def verify(g, commitments: List, z, queries: List[Query], proof, L=None):
+        L = L or _device_loader()
         sets = bdfg_query_sets(queries)
         z_prime = proof["z_prime"]
         mu, gamma = proof["mu"], proof["gamma"]
 
         max_deg = max(max(len(s[0]) for s in sets), 2)
-        pow_z = powers(z, max_deg)
+        pow_z = L.powers(z, max_deg)
 
         # z' − ωᵢ·z per distinct shift
         shift_superset = sorted({sh for s in sets for sh in s[0]})
         zp_minus = {
-            sh: FR.sub(z_prime, FR.mul(FR.from_int(sh), z)) for sh in shift_superset
+            sh: L.sub(z_prime, L.mul(L.scalar(sh), z)) for sh in shift_superset
         }
 
         # ---- per-set coefficient setup (fractions kept as (numer, denom))
@@ -190,16 +194,16 @@ class Bdfg21:
             zk1 = pow_z[k - 1]
             # barycentric denominators: nell_j · z^{k−1} · (z' − s_j z)
             denoms = [
-                FR.add(
-                    FR.mul(FR.mul(FR.from_int(nell[j]), zk1), z_prime),
-                    FR.neg(FR.mul(FR.mul(FR.from_int(nell[j] * shifts[j] % r_mod), zk1), z)),
+                L.add(
+                    L.mul(L.mul(L.scalar(nell[j]), zk1), z_prime),
+                    L.neg(L.mul(L.mul(L.scalar(nell[j] * shifts[j] % r_mod), zk1), z)),
                 )
                 for j in range(k)
             ]
             # z_s = Π_j (z' − s_j·z)
             zs = zp_minus[shifts[0]]
             for sh in shifts[1:]:
-                zs = FR.mul(zs, zp_minus[sh])
+                zs = L.mul(zs, zp_minus[sh])
             if z_s_1 is None:
                 z_s_1 = zs
                 comm_denom = None  # coeff 1
@@ -216,14 +220,14 @@ class Bdfg21:
             flat.extend(sd["denoms"])
             if sd["comm_denom"] is not None:
                 flat.append(sd["comm_denom"])
-        inv_flat = list(FR.batch_inv(jnp.stack(flat, 0)))
+        inv_flat = L.batch_inv(flat)
         i = 0
         for sd in set_data:
             k = len(sd["denoms"])
             sd["weights"] = inv_flat[i : i + k]
             i += k
             if sd["comm_denom"] is not None:
-                sd["comm_coeff"] = FR.mul(z_s_1, inv_flat[i])
+                sd["comm_coeff"] = L.mul(z_s_1, inv_flat[i])
                 i += 1
             else:
                 sd["comm_coeff"] = None
@@ -233,33 +237,33 @@ class Bdfg21:
         for sd in set_data:
             acc = sd["weights"][0]
             for w_ in sd["weights"][1:]:
-                acc = FR.add(acc, w_)
+                acc = L.add(acc, w_)
             sums.append(acc)
-        inv_sums = list(FR.batch_inv(jnp.stack(sums, 0)))
+        inv_sums = L.batch_inv(sums)
         for sd, inv_sum in zip(set_data, inv_sums):
             cc = sd["comm_coeff"]
-            sd["r_eval_coeff"] = inv_sum if cc is None else FR.mul(cc, inv_sum)
+            sd["r_eval_coeff"] = inv_sum if cc is None else L.mul(cc, inv_sum)
 
         # ---- assemble f
         max_polys = max(len(sd["polys"]) for sd in set_data)
-        pow_mu = powers(mu, max_polys)
-        pow_gamma = powers(gamma, len(set_data))
+        pow_mu = L.powers(mu, max_polys)
+        pow_gamma = L.powers(gamma, len(set_data))
 
-        f = MsmExpr()
+        f = L.msm_zero()
         for sd, pg in zip(set_data, pow_gamma):
-            msm = MsmExpr()
+            msm = L.msm_zero()
             for (poly, evs), pm in zip(zip(sd["polys"], sd["evals"]), pow_mu):
                 comm = commitments[poly]
                 if sd["comm_coeff"] is not None:
                     comm = comm * sd["comm_coeff"]
-                r_eval = FR.mul(sd["weights"][0], evs[0])
+                r_eval = L.mul(sd["weights"][0], evs[0])
                 for w_, ev in zip(sd["weights"][1:], evs[1:]):
-                    r_eval = FR.add(r_eval, FR.mul(w_, ev))
-                r_eval = FR.mul(r_eval, sd["r_eval_coeff"])
-                msm = msm + (comm - MsmExpr.constant(r_eval)) * pm
+                    r_eval = L.add(r_eval, L.mul(w_, ev))
+                r_eval = L.mul(r_eval, sd["r_eval_coeff"])
+                msm = msm + (comm - L.msm_constant(r_eval)) * pm
             f = f + msm * pg
-        f = f - MsmExpr.base(_affine_to_proj(proof["w"])) * z_s_1
+        f = f - L.msm_base(proof["w"]) * z_s_1
 
-        rhs_expr = MsmExpr.base(_affine_to_proj(proof["w_prime"]))
+        rhs_expr = L.msm_base(proof["w_prime"])
         lhs_expr = f + rhs_expr * z_prime
-        return lhs_expr.evaluate(g), rhs_expr.evaluate(g)
+        return L.msm_evaluate(lhs_expr, g), L.msm_evaluate(rhs_expr, g)

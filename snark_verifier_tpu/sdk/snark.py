@@ -71,7 +71,14 @@ class Snark:
         from .. import errors
         from ..ff.spec import FQ
 
-        for i, (x, y) in enumerate(self.points):
+        for i, pt in enumerate(self.points):
+            if pt is None:
+                # g1_from_bytes decodes the all-zero encoding to None (the
+                # identity); the transcript absorbs affine coordinates, so an
+                # identity proof point is malformed, same as the transcript's
+                # own identity assert.
+                raise errors.TranscriptError(f"proof point {i} is the identity")
+            x, y = pt
             if not (0 <= x < FQ.p and 0 <= y < FQ.p):
                 raise errors.TranscriptError(f"proof point {i} coordinate not reduced")
             if not py_ec.is_on_curve((x, y)):

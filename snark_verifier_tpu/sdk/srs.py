@@ -188,12 +188,22 @@ def save_params(srs: Srs, path: str):
 def load_params(path: str) -> Srs:
     """Read a halo2 'Processed'-format ParamsKZG file -> Srs (with on-curve
     validation of every point via decompression)."""
+    from .. import errors
     from .proof_io import g1_from_bytes
 
     with open(path, "rb") as f:
         data = f.read()
+    if len(data) < 4:
+        raise errors.TranscriptError("SRS file truncated (no header)")
     k = int.from_bytes(data[:4], "little")
+    if k > FR.two_adicity:
+        raise errors.TranscriptError(f"SRS k={k} exceeds field two-adicity")
     n = 1 << k
+    expected = 4 + 2 * n * 32 + 128
+    if len(data) != expected:
+        raise errors.TranscriptError(
+            f"SRS file size {len(data)} != {expected} for k={k}"
+        )
     pos = 4
     g1_powers = []
     for _ in range(n):

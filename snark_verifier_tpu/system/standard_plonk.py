@@ -221,18 +221,25 @@ def prove(circuit: StandardPlonk, protocol: PlonkProtocol, srs,
 
 
 def gen_snark(circuit: StandardPlonk, protocol: PlonkProtocol, srs,
-              scheme: str = "shplonk"):
+              scheme: str = "shplonk", check: bool = True):
     """Prove and package as an sdk.Snark (reference gen_snark_{gwc,shplonk},
-    snark-verifier-sdk/src/halo2.rs:178-260)."""
+    snark-verifier-sdk/src/halo2.rs:178-260).  check=True re-verifies the
+    generated proof through the native-loader verifier before returning, as
+    the reference does after every gen_proof (halo2.rs:124-138)."""
     from ..sdk.snark import Snark
 
     scalars, points = prove(circuit, protocol, srs, scheme=scheme)
-    return Snark(
+    snark = Snark(
         protocol=protocol,
         instances=[list(circuit.instance)],
         scalars=scalars,
         points=points,
     )
+    if check:
+        from ..verifier.plonk.verifier import verify_snark_native
+
+        assert verify_snark_native(snark, srs, scheme), "self-check verify failed"
+    return snark
 
 
 def _rotate_poly(poly: List[int], rotation: int, domain: Domain) -> List[int]:

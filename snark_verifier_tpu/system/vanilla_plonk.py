@@ -573,7 +573,15 @@ def prove(asg: Assignment, protocol: PlonkProtocol, srs,
         assert len(cols) == spec.num_advice[phase]
         for j, col in enumerate(cols):
             idx = spec.witness_offset + sum(spec.num_advice[:phase]) + j
-            put(idx, list(col))
+            col = list(col)
+            # zk: fill the blinding rows (>= u) of every advice column with
+            # random field elements before committing, as halo2's prover does
+            # — without this the commitments leak the witness tail.  Gate
+            # selectors vanish on rows >= u (l_active), so constraints still
+            # hold; the quotient-division assert below would catch a circuit
+            # whose selectors don't.
+            col[u:] = [rand_fr() for _ in range(n - u)]
+            put(idx, col)
             t.write_ec_point(srs.commit(coeffs_by_idx[idx]))
         m = spec.num_challenge()[phase]
         squeeze_into(range(chal_cursor, chal_cursor + m))
@@ -738,16 +746,23 @@ def prove(asg: Assignment, protocol: PlonkProtocol, srs,
 
 
 def gen_snark(asg: Assignment, protocol: PlonkProtocol, srs,
-              scheme: str = "shplonk", seed: int = 0):
+              scheme: str = "shplonk", seed: int = 0, check: bool = True):
+    """check=True re-verifies the generated proof through the native-loader
+    verifier before returning (reference self-check, halo2.rs:124-138)."""
     from ..sdk.snark import Snark
 
     scalars, points = prove(asg, protocol, srs, scheme=scheme, seed=seed)
-    return Snark(
+    snark = Snark(
         protocol=protocol,
         instances=[list(c) for c in asg.instance],
         scalars=scalars,
         points=points,
     )
+    if check:
+        from ..verifier.plonk.verifier import verify_snark_native
+
+        assert verify_snark_native(snark, srs, scheme), "self-check verify failed"
+    return snark
 
 
 def _rotate_coeffs(poly: List[int], rotation: int, domain: Domain) -> List[int]:

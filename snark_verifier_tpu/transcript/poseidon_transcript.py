@@ -122,6 +122,12 @@ class PoseidonTranscriptPy:
         self.common_ec_point(pt)
         return pt
 
+    def read_n_scalars(self, n: int) -> List[int]:
+        return [self.read_scalar() for _ in range(n)]
+
+    def read_n_ec_points(self, n: int) -> List:
+        return [self.read_ec_point() for _ in range(n)]
+
     # prover side: absorb and record the stream (host ints)
     def write_scalar(self, s: int):
         self.common_scalar(s)

@@ -1,4 +1,4 @@
-"""Generic PLONK verifier over device scalars/points.
+"""Generic PLONK verifier, written once against an abstract Loader.
 
 Mirrors the reference verifier layer:
   * PlonkProof.read — transcript-driven proof parsing
@@ -9,45 +9,39 @@ Mirrors the reference verifier layer:
   * PlonkVerifier.verify = succinct + decide_all (:125-134)
 
 Execution model: the protocol is host data (trace constants); scalars/points
-are device arrays; the whole read+verify composes into one jit-able function
-batchable over a proof batch.
+are loader handles.  Under loader.DEVICE the whole read+verify composes into
+one jit-able function batchable over a proof batch; under loader.NATIVE it is
+a python-int oracle run (prover self-checks, tests); under the EVM loader it
+emits a Yul verifier contract (loader/evm_loader.py).
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-import jax.numpy as jnp
-
-from ...ff import FR_FIELD
-from ...loader.msm_expr import MsmExpr
-from ...pcs.kzg.multiopen import Query as PcsQuery, _affine_to_proj, powers
+from ...loader.base import DEVICE
+from ...pcs.kzg.multiopen import Query as PcsQuery
 from .protocol import PlonkProtocol, Query, R
-
-FR = FR_FIELD
 
 
 class CommonPolynomialEvaluation:
     """z^n, (z^n - 1), Lagrange_i(z) with one batched inversion
     (protocol.rs:188-279)."""
 
-    def __init__(self, domain, lagranges: List[int], z):
-        self.zn = FR.pow_static(z, domain.n)
-        one = jnp.broadcast_to(FR.one, self.zn.shape)
-        self.zn_minus_one = FR.sub(self.zn, one)
+    def __init__(self, domain, lagranges: List[int], z, L=DEVICE):
+        self.zn = L.pow_static(z, domain.n)
+        self.zn_minus_one = L.sub(self.zn, L.scalar(1))
         self.identity = z
 
-        n_inv = FR.from_int(domain.n_inv)
-        numer = FR.mul(self.zn_minus_one, n_inv)
+        numer = L.mul(self.zn_minus_one, L.scalar(domain.n_inv))
         omegas = [domain.rotate(i) for i in lagranges]
-        numers = [FR.mul(numer, FR.from_int(w)) for w in omegas]
-        denoms = [FR.sub(z, FR.from_int(w)) for w in omegas]
+        numers = [L.mul(numer, L.scalar(w)) for w in omegas]
+        denoms = [L.sub(z, L.scalar(w)) for w in omegas]
         # batch invert lagrange denominators + (z^n - 1)
-        flat = jnp.stack(denoms + [self.zn_minus_one], 0)
-        invs = FR.batch_inv(flat)
+        invs = L.batch_inv(denoms + [self.zn_minus_one])
         self.zn_minus_one_inv = invs[-1]
         self.lagrange = {
-            i: FR.mul(num, invs[j]) for j, (i, num) in enumerate(zip(lagranges, numers))
+            i: L.mul(num, invs[j]) for j, (i, num) in enumerate(zip(lagranges, numers))
         }
 
     def get(self, cp):
@@ -61,10 +55,10 @@ class PlonkProof:
         self.__dict__.update(kw)
 
     @staticmethod
-    def read(protocol: PlonkProtocol, instances, transcript, pcs_scheme):
-        """instances: list (per instance column) of lists of device scalars."""
+    def read(protocol: PlonkProtocol, instances, transcript, pcs_scheme, L=DEVICE):
+        """instances: list (per instance column) of lists of loader scalars."""
         if protocol.transcript_initial_state is not None:
-            transcript.common_scalar(FR.from_int(protocol.transcript_initial_state))
+            transcript.common_scalar(L.scalar(protocol.transcript_initial_state))
 
         if [len(i) for i in instances] != protocol.num_instance:
             from ...errors import InvalidInstances
@@ -75,23 +69,19 @@ class PlonkProof:
 
         committed_instances = None
         if protocol.instance_committing_key is not None:
+            # query-instance protocol family (IPA-style): the verifier commits
+            # to the instance polynomials itself (system/halo2.rs:724-756)
             ick = protocol.instance_committing_key
-            from ...ec.g1 import from_affine_int_np
-
-            bases = [from_affine_int_np([b])[0] for b in ick["bases"]]
             committed_instances = []
             for cols in instances:
-                expr = MsmExpr.sum(
-                    [MsmExpr.base(b) * s for s, b in zip(cols, bases)]
+                expr = L.msm_sum(
+                    [L.msm_base_int(b) * s for s, b in zip(cols, ick["bases"])]
                 )
                 if ick.get("constant") is not None:
-                    expr = expr + MsmExpr.base(from_affine_int_np([ick["constant"]])[0])
-                pt = expr.evaluate()
+                    expr = expr + L.msm_base_int(ick["constant"])
+                pt = L.msm_evaluate(expr)
                 committed_instances.append(pt)
-                from ...ec.g1 import G1
-
-                x, y, _ = G1.to_affine(pt)
-                transcript.common_ec_point(jnp.stack([x, y], axis=-2))
+                transcript.common_ec_point(L.affine(pt))
         else:
             for cols in instances:
                 for v in cols:
@@ -112,10 +102,8 @@ class PlonkProof:
 
         old_accumulators = []
         for acc_idx in protocol.accumulator_indices:
-            from ...pcs.kzg.accumulator import accumulator_from_limbs
-
             limbs = [instances[i][j] for (i, j) in acc_idx]
-            old_accumulators.append(accumulator_from_limbs(limbs))
+            old_accumulators.append(L.accumulator_from_limbs(limbs))
 
         return PlonkProof(
             committed_instances=committed_instances,
@@ -141,8 +129,8 @@ class PlonkProof:
             out.append(PcsQuery(pq.poly, pq.shift, evaluations[q]))
         return out
 
-    def instance_evals_and_map(self, protocol, instances, cpe) -> Dict:
-        """evaluations map: Query -> device scalar (proof.rs:283-318)."""
+    def instance_evals_and_map(self, protocol, instances, cpe, L=DEVICE) -> Dict:
+        """evaluations map: Query -> loader scalar (proof.rs:283-318)."""
         evals: Dict[Query, object] = {}
         if protocol.instance_committing_key is None:
             offset = len(protocol.preprocessed)
@@ -154,42 +142,40 @@ class PlonkProof:
                 cols = instances[q.poly - offset]
                 acc = None
                 for i, v in enumerate(cols):
-                    term = FR.mul(v, cpe.get(("lagrange", i - q.rotation)))
-                    acc = term if acc is None else FR.add(acc, term)
+                    term = L.mul(v, cpe.get(("lagrange", i - q.rotation)))
+                    acc = term if acc is None else L.add(acc, term)
                 if acc is None:
-                    acc = jnp.zeros_like(FR.one)
+                    acc = L.scalar(0)
                 evals[q] = acc
         for q, v in zip(protocol.evaluations, self.evaluations):
             evals[q] = v
         return evals
 
-    def commitments(self, protocol, cpe, evaluations: Dict) -> List[MsmExpr]:
+    def commitments(self, protocol, cpe, evaluations: Dict, L=DEVICE) -> List:
         """Linearization Msm assembly (proof.rs:179-281)."""
-        comms: List[MsmExpr] = []
-        from ...ec.g1 import from_affine_int_np
-
+        comms: List = []
         for pt in protocol.preprocessed:
-            comms.append(MsmExpr.base(from_affine_int_np([pt])[0]))
+            comms.append(L.msm_base_int(pt))
         if self.committed_instances is not None:
-            comms.extend(MsmExpr.base(p) for p in self.committed_instances)
+            comms.extend(L.msm_base_proj(p) for p in self.committed_instances)
         else:
-            comms.extend(MsmExpr() for _ in protocol.num_instance)
-        comms.extend(MsmExpr.base(_affine_to_proj(w)) for w in self.witnesses)
+            comms.extend(L.msm_zero() for _ in protocol.num_instance)
+        comms.extend(L.msm_base(w) for w in self.witnesses)
 
         def constant(v):
-            return MsmExpr.constant(FR.from_int(v))
+            return L.msm_constant(L.scalar(v))
 
         def common_poly(cp):
-            return MsmExpr.constant(cpe.get(cp))
+            return L.msm_constant(cpe.get(cp))
 
         def poly(q: Query):
             if q in evaluations:
-                return MsmExpr.constant(evaluations[q])
+                return L.msm_constant(evaluations[q])
             assert q.rotation == 0, f"missing query {q}"
             return comms[q.poly]
 
         def challenge(idx):
-            return MsmExpr.constant(self.challenges[idx])
+            return L.msm_constant(self.challenges[idx])
 
         def product(a, b):
             if a.size() == 0:
@@ -206,20 +192,17 @@ class PlonkProof:
             lambda a: -a,
             lambda a, b: a + b,
             product,
-            lambda a, s: a * FR.from_int(s),
+            lambda a, s: a * L.scalar(s),
         )
 
         quotient_query = Query(
             len(protocol.preprocessed) + len(protocol.num_instance) + len(self.witnesses),
             0,
         )
-        zn_chunk = FR.pow_static(cpe.zn, protocol.quotient.chunk_degree)
-        pow_zn = powers(zn_chunk, len(self.quotients))
-        quotient = MsmExpr.sum(
-            [
-                MsmExpr.base(_affine_to_proj(c)) * p
-                for c, p in zip(self.quotients, pow_zn)
-            ]
+        zn_chunk = L.pow_static(cpe.zn, protocol.quotient.chunk_degree)
+        pow_zn = L.powers(zn_chunk, len(self.quotients))
+        quotient = L.msm_sum(
+            [L.msm_base(c) * p for c, p in zip(self.quotients, pow_zn)]
         )
 
         lin = protocol.linearization
@@ -228,21 +211,19 @@ class PlonkProof:
             msm, const = numerator.split()
             comms.append(quotient)
             comms.append(msm)
-            base = const if const is not None else jnp.zeros_like(FR.one)
-            evaluations[quotient_query] = FR.mul(
-                FR.add(base, evaluations[lin_query]), cpe.zn_minus_one_inv
+            base = const if const is not None else L.scalar(0)
+            evaluations[quotient_query] = L.mul(
+                L.add(base, evaluations[lin_query]), cpe.zn_minus_one_inv
             )
         elif lin == "MinusVanishingTimesQuotient":
             msm, const = (numerator - quotient * cpe.zn_minus_one).split()
             comms.append(msm)
-            evaluations[quotient_query] = (
-                const if const is not None else jnp.zeros_like(FR.one)
-            )
+            evaluations[quotient_query] = const if const is not None else L.scalar(0)
         else:
             comms.append(quotient)
             c = numerator.try_constant()
             assert c is not None, "invalid linearization"
-            evaluations[quotient_query] = FR.mul(c, cpe.zn_minus_one_inv)
+            evaluations[quotient_query] = L.mul(c, cpe.zn_minus_one_inv)
 
         return comms
 
@@ -251,18 +232,20 @@ class PlonkSuccinctVerifier:
     """verify -> [accumulator, *old_accumulators] (verifier/plonk.rs:58-92)."""
 
     @staticmethod
-    def read_proof(protocol, instances, transcript, pcs_scheme):
-        return PlonkProof.read(protocol, instances, transcript, pcs_scheme)
+    def read_proof(protocol, instances, transcript, pcs_scheme, L=DEVICE):
+        return PlonkProof.read(protocol, instances, transcript, pcs_scheme, L=L)
 
     @staticmethod
-    def verify(svk_g, protocol, instances, proof, pcs_scheme):
+    def verify(svk_g, protocol, instances, proof, pcs_scheme, L=DEVICE):
         cpe = CommonPolynomialEvaluation(
-            protocol.domain, protocol.langranges(), proof.z
+            protocol.domain, protocol.langranges(), proof.z, L=L
         )
-        evaluations = proof.instance_evals_and_map(protocol, instances, cpe)
-        commitments = proof.commitments(protocol, cpe, evaluations)
+        evaluations = proof.instance_evals_and_map(protocol, instances, cpe, L=L)
+        commitments = proof.commitments(protocol, cpe, evaluations, L=L)
         queries = proof.queries(protocol, evaluations)
-        accumulator = pcs_scheme.verify(svk_g, commitments, proof.z, queries, proof.pcs)
+        accumulator = pcs_scheme.verify(
+            svk_g, commitments, proof.z, queries, proof.pcs, L=L
+        )
         return [accumulator] + list(proof.old_accumulators)
 
 
@@ -273,11 +256,35 @@ class PlonkVerifier:
     read_proof = PlonkSuccinctVerifier.read_proof
 
     @staticmethod
-    def verify(srs, protocol, instances, proof, pcs_scheme):
-        from ...pcs.kzg.decider import decide_all
-
+    def verify(srs, protocol, instances, proof, pcs_scheme, L=DEVICE):
         accumulators = PlonkSuccinctVerifier.verify(
-            srs.g_dev, protocol, instances, proof, pcs_scheme
+            L.load_svk(srs), protocol, instances, proof, pcs_scheme, L=L
         )
-        oks = decide_all(srs, accumulators)
-        return oks.all(axis=0)
+        return L.decide_all(srs, accumulators)
+
+
+def succinct_verify_native(snark, srs, scheme_name: str = "shplonk"):
+    """Python-int succinct verification of an sdk.Snark -> list of
+    [(lhs, rhs)] affine-int accumulators (fresh + instance-decoded old ones;
+    the reference's NativeLoader PlonkSuccinctVerifier path)."""
+    from ...loader.base import NATIVE
+    from ...pcs.kzg.multiopen import Bdfg21, Gwc19
+    from ...transcript import PoseidonTranscriptPy
+
+    scheme = Bdfg21 if scheme_name == "shplonk" else Gwc19
+    t = PoseidonTranscriptPy(scalars=snark.scalars, points=snark.points)
+    instances = [[v % R for v in col] for col in snark.instances]
+    proof = PlonkProof.read(snark.protocol, instances, t, scheme, L=NATIVE)
+    return PlonkSuccinctVerifier.verify(
+        srs.g, snark.protocol, instances, proof, scheme, L=NATIVE
+    )
+
+
+def verify_snark_native(snark, srs, scheme_name: str = "shplonk") -> bool:
+    """Full python-int verification of an sdk.Snark (the reference's
+    native-verifier path; used as the prover self-check —
+    snark-verifier-sdk/src/halo2.rs:124-138)."""
+    from ...loader.base import NATIVE
+
+    accumulators = succinct_verify_native(snark, srs, scheme_name)
+    return bool(NATIVE.decide_all(srs, accumulators))
