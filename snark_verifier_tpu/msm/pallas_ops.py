@@ -50,7 +50,8 @@ def _ext_zero_point(self, sigma, rhs, mods, cs, nfolds: int = 3):
 
     n = rhs.shape[1] // 4
     lhs = _split_u8(sigma)
-    s = (lhs.astype(jnp.int32) - 128).astype(jnp.int8)
+    shape = lhs.shape
+    s = (lhs.astype(jnp.int32) - 128).astype(jnp.int8).reshape(-1, shape[-1])
     t = (rhs.astype(jnp.int32) - 128).astype(jnp.int8)
     st = jax.lax.dot_general(
         s, t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -59,7 +60,7 @@ def _ext_zero_point(self, sigma, rhs, mods, cs, nfolds: int = 3):
     cols = jnp.sum(t.astype(jnp.int32), axis=0, keepdims=True)
     out = (st + 128 * rows + 128 * cols + 128 * 128 * s.shape[1]).astype(
         jnp.uint32
-    )
+    ).reshape(shape[:-1] + (4 * n,))
     s_ll = out[..., 0 * n : 1 * n]
     s_lh = out[..., 1 * n : 2 * n]
     s_hl = out[..., 2 * n : 3 * n]
@@ -277,6 +278,137 @@ def fold_buckets_chunked(mat, identity_row, K: int = 8,
             w += pad
         mat = _pallas_fold_level(mat, K, interpret=interpret)
         w //= K
+    return mat[:, 0]
+
+
+def _halving_fold_kernel(bb: int, w: int, layers: int, L: int = 35):
+    """`layers` halving tree layers entirely in VMEM with NO in-kernel
+    reshape/concatenate: coordinates are sliced from the last dim (x|y|z at
+    35-lane offsets), lo/hi are contiguous slices of the middle dim, and the
+    three output coordinates are written back as separate stores.  Mosaic
+    compiles the reshape-based variant (_fold_level_kernel) in unbounded
+    time at w ~ 4.6k (the (bb, w, 105) -> (bb*g, K, 105) relayout unrolls);
+    this shape-preserving form compiles in seconds at any width.
+
+    Block (bb, w, 105) -> (bb, w >> layers, 105); w must be divisible by
+    2**layers (pad with the identity upstream)."""
+    assert w % (1 << layers) == 0
+
+    def kernel(*refs):
+        *const_refs, mat_ref, out_ref = refs
+        F = _kernel_field(const_refs)
+        cs = [mat_ref[:, :, i * L : (i + 1) * L] for i in range(3)]
+        width = w
+        for _ in range(layers):
+            half = width // 2
+            lo = [c[:, :half] for c in cs]
+            hi = [c[:, half : 2 * half] for c in cs]
+            cs = list(_rc15_add_nocat(F, *lo, *hi))
+            width = half
+        for i in range(3):
+            out_ref[:, :, i * L : (i + 1) * L] = cs[i]
+
+    return kernel
+
+
+def _pallas_fold_halving(mat, layers: int, interpret: bool = False,
+                         vmem_budget: int = 3_500_000):
+    """(NB, w, 105) -> (NB, w >> layers, 105); w % 2**layers == 0."""
+    NB, w, FL = mat.shape
+    g = w >> layers
+    assert g << layers == w
+    bb = max(1, min(NB, vmem_budget // max(1, w * 2 * FL)))
+    while NB % bb:
+        bb -= 1
+    consts = _consts_host()
+    return pl.pallas_call(
+        _halving_fold_kernel(bb, w, layers),
+        out_shape=jax.ShapeDtypeStruct((NB, g, FL), jnp.uint16),
+        grid=(NB // bb,),
+        in_specs=_const_specs()
+        + [pl.BlockSpec((bb, w, FL), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bb, g, FL), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*consts, mat)
+
+
+def _pallas_fold_grid(mat, wb: int, layers: int, interpret: bool = False,
+                      vmem_budget: int = 3_000_000):
+    """(NB, w, 105) -> (NB, (w/wb)*(wb>>layers), 105) via a 2D grid over
+    (buckets, width-chunks).  The kernel program has a FIXED (bb, wb, 105)
+    block regardless of total width, so the remote Mosaic service compiles
+    it once per (bb, wb, layers) — big-width blocks are what it cannot
+    handle (measured: w~4.6k blocks never return; wb<=1024 compiles in
+    seconds).  Chunk-local pairing is still a correct tree reduction:
+    addition is associative and slots are identity-padded."""
+    NB, w, FL = mat.shape
+    assert w % wb == 0
+    g = wb >> layers
+    bb = max(1, min(NB, vmem_budget // max(1, wb * 2 * FL)))
+    while NB % bb:
+        bb -= 1
+    consts = _consts_host()
+    return pl.pallas_call(
+        _halving_fold_kernel(bb, wb, layers),
+        out_shape=jax.ShapeDtypeStruct((NB, (w // wb) * g, FL), jnp.uint16),
+        grid=(NB // bb, w // wb),
+        in_specs=_const_specs()
+        + [pl.BlockSpec((bb, wb, FL), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bb, g, FL), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*consts, mat)
+
+
+def fold_buckets_grid(mat, identity_row, wb: int = 512, layers: int = 4,
+                      interpret: bool = False):
+    """(NB, cap, 105) u16 bucket matrices -> (NB, 105) bucket sums using the
+    fixed-width grid-chunked fold: every level >= wb reuses ONE compiled
+    Mosaic program; the sub-wb tail uses the small halving kernels."""
+    NB, cap, FL = mat.shape
+    w = cap
+    while w > 1:
+        if w >= wb:
+            pad = (-w) % wb
+            if pad:
+                fill = jnp.broadcast_to(identity_row, (NB, pad, FL))
+                mat = jnp.concatenate([mat, fill], axis=1)
+                w += pad
+            mat = _pallas_fold_grid(mat, wb, layers, interpret=interpret)
+            w = (w // wb) * (wb >> layers)
+        else:
+            lyr = min(layers, (w - 1).bit_length())
+            step = 1 << lyr
+            pad = (-w) % step
+            if pad:
+                fill = jnp.broadcast_to(identity_row, (NB, pad, FL))
+                mat = jnp.concatenate([mat, fill], axis=1)
+                w += pad
+            mat = _pallas_fold_halving(mat, lyr, interpret=interpret)
+            w >>= lyr
+    return mat[:, 0]
+
+
+def fold_buckets_halving(mat, identity_row, layers_per_call: int = 4,
+                         interpret: bool = False):
+    """(NB, cap, 105) u16 bucket matrices -> (NB, 105) bucket sums via
+    chained no-reshape halving kernels, `layers_per_call` tree layers per
+    Mosaic program (each call shrinks the array 2^layers x)."""
+    NB, cap, FL = mat.shape
+    w = cap
+    while w > 1:
+        layers = min(layers_per_call, (w - 1).bit_length())
+        step = 1 << layers
+        pad = (-w) % step
+        if pad:
+            fill = jnp.broadcast_to(identity_row, (NB, pad, FL))
+            mat = jnp.concatenate([mat, fill], axis=1)
+            w += pad
+        mat = _pallas_fold_halving(mat, layers, interpret=interpret)
+        w >>= layers
     return mat[:, 0]
 
 
