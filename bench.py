@@ -1,14 +1,20 @@
-"""Benchmark harness: prints ONE JSON line with the headline metric.
+"""Benchmark harness: prints ONE JSON line carrying the three north-star
+metrics (BASELINE.md):
 
-Headline (BASELINE.md north star): MSM points/sec/chip at 2^20 on BN254 G1.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
-against the analytic north-star placeholder 1.0 until a measured reference
-CPU number exists.
+  * msm_points_per_sec_2^20_bn254_g1      (primary metric/value fields)
+  * verify proofs/s at batch 1024 on the HONEST workload: distinct
+    vanilla-PLONK snarks (permutation + lookup + user challenge, k=10,
+    committed fixtures under benchmarks/fixtures/)
+  * pairing checks/s at batch 256
 
-Points are generated on-device as [i+1]·G via a log-depth doubling ladder, so
-the result is self-checkable: Σ sᵢ·[i+1]G == [Σ sᵢ·(i+1) mod r]·G.
+vs_baseline is measured, not assumed: the MSM ratio is against the native
+C++ multithreaded Pippenger on this host (the reference's rayon MSM shape);
+the verify ratio is against the python native-loader verifier (the
+reference's NativeLoader execution model) on this host.
 
-Env knobs: BENCH_LOG2N (default 20), BENCH_REPS (default 3).
+Env knobs: BENCH_MODE=all|msm|verify|pairing, BENCH_LOG2N, BENCH_REPS,
+BENCH_BATCH, BENCH_BUDGET (seconds; remaining phases are skipped —
+and reported as null — once exceeded).
 """
 
 import json
@@ -23,6 +29,18 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _sync(x):
+    # block_until_ready returns early through the axon tunnel; a device_get
+    # of one element is the only reliable barrier.
+    np.asarray(jax.device_get(x.ravel()[:1]))
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
 
 def gen_points(n):
     """[1..n]·G: native C++ enumeration when available (seconds), else an
@@ -35,8 +53,6 @@ def gen_points(n):
 
     levels = int(np.log2(n))
     assert 1 << levels == n, "n must be a power of two"
-
-    # host-precomputed offsets [2^k]G (cheap python ints)
     offs = []
     pt = py_ec.G1_GEN
     for _ in range(levels):
@@ -54,129 +70,12 @@ def gen_points(n):
     return build(offs_dev)
 
 
-def bench_verify():
-    """BENCH_MODE=verify: proofs verified/sec at batch BENCH_BATCH.
-    BENCH_K (default 10) sets the circuit size — the verify graph itself is
-    k-independent (commitment count, not domain size, drives the work), but
-    k >= 10 keeps the proof shapes honest vs the reference's workloads."""
-    B = int(os.environ.get("BENCH_BATCH", "64"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    k = int(os.environ.get("BENCH_K", "10"))
-    import jax
-    import numpy as np_
-
-    from snark_verifier_tpu.parallel import batch_verify_sharded
-    from snark_verifier_tpu.sdk.srs import toy_srs
-    from snark_verifier_tpu.system.standard_plonk import (
-        StandardPlonk,
-        build_protocol,
-        gen_snark,
-    )
-
-    srs = toy_srs(max(32, 2 << k))
-    circuit = StandardPlonk.rand(k=k, seed=1)
-    protocol = build_protocol(circuit, srs)
-    t0 = time.time()
-    snark = gen_snark(circuit, protocol, srs, scheme="shplonk")
-    print(f"# host prove: {time.time()-t0:.1f}s", file=sys.stderr)
-    snarks = [snark] * B
-    # jitted whole-pipeline path (1-device mesh == plain batched verify)
-    mesh = jax.sharding.Mesh(np_.array(jax.devices()[:1]), ("batch",))
-
-    def sync(x):
-        np_.asarray(jax.device_get(x.ravel()[:1]))
-
-    from snark_verifier_tpu.utils.timing import METER
-
-    t0 = time.time()
-    METER.start("verify_trace")
-    oks = batch_verify_sharded(snarks, srs, mesh, "shplonk")
-    METER.end("verify_trace")
-    sync(oks)
-    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
-    print(f"# cost-meter: {METER.report()}", file=sys.stderr)
-    ok = bool(np_.asarray(oks).all())
-
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        sync(batch_verify_sharded(snarks, srs, mesh, "shplonk"))
-        times.append(time.time() - t0)
-    dt = min(times)
-    print(
-        json.dumps(
-            {
-                "metric": "plonk_proofs_verified_per_sec_batch%d" % B
-                + ("" if ok else "_INCORRECT"),
-                "value": round(B / dt, 2),
-                "unit": "proofs/s",
-                "vs_baseline": 1.0,
-            }
-        )
-    )
-
-
-def bench_pairing():
-    """BENCH_MODE=pairing: KZG-decider pairing checks/sec at batch
-    BENCH_BATCH (the reference's decide loop, pcs/kzg/decider.rs:70-80,
-    as one vmapped multi-Miller-loop + final exp)."""
-    B = int(os.environ.get("BENCH_BATCH", "64"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    import jax
-
-    from snark_verifier_tpu.ec import from_affine_int, py_ec
-    from snark_verifier_tpu.pcs.kzg.decider import decide
-    from snark_verifier_tpu.sdk.srs import toy_srs
-
-    import random
-
-    from snark_verifier_tpu.ff.spec import FR
-
-    srs = toy_srs(8, seed=0xA11CE)
-    tau = random.Random(0xA11CE).randrange(1, FR.p)
-    # valid accumulators: lhs = tau * rhs  =>  e(lhs, g2) e(rhs, -tau g2) == 1
-    rng = np.random.default_rng(3)
-    ks = [int.from_bytes(rng.bytes(31)) for _ in range(B)]
-    rhs = from_affine_int([py_ec.scalar_mul(py_ec.G1_GEN, k) for k in ks])
-    lhs = from_affine_int(
-        [py_ec.scalar_mul(py_ec.G1_GEN, k * tau % FR.p) for k in ks]
-    )
-    fn = jax.jit(lambda l, r: decide(srs, l, r))
-
-    def sync(x):
-        np.asarray(jax.device_get(x.ravel()[:1]))
-
-    t0 = time.time()
-    ok = fn(lhs, rhs)
-    sync(ok)
-    print(f"# pairing compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
-    all_ok = bool(np.asarray(ok).all())
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        sync(fn(lhs, rhs))
-        times.append(time.time() - t0)
-    dt = min(times)
-    print(
-        json.dumps(
-            {
-                "metric": "pairing_checks_per_sec_batch%d" % B
-                + ("" if all_ok else "_INCORRECT"),
-                "value": round(B / dt, 2),
-                "unit": "pairings/s",
-                "vs_baseline": 1.0,
-            }
-        )
-    )
-
-
 def measure_cpu_baseline(log2n: int = 17):
     """Self-measured CPU reference rate: the multithreaded C++ Pippenger
     (csrc/bn254.cpp bn254_msm_mt — the reference's rayon MSM shape,
     util/msm.rs:290-310) on this host, all cores.  Returns points/s or None.
-    Measured at 2^17 (Pippenger points/s is ~size-independent for fixed c:
-    doubling overhead amortizes below the few-percent level by 2^17), with a
-    generator-multiple self-check so the number can't silently be garbage."""
+    Measured at 2^17 (Pippenger points/s is ~size-independent for fixed c),
+    with a generator-multiple self-check."""
     from snark_verifier_tpu.ec import py_ec
     from snark_verifier_tpu.ff.spec import FR
     from snark_verifier_tpu.utils import native
@@ -196,23 +95,17 @@ def measure_cpu_baseline(log2n: int = 17):
         "CPU baseline self-check failed"
     )
     rate = n / dt
-    print(f"# cpu baseline (msm_mt, {os.cpu_count()} threads, 2^{log2n}): "
-          f"{rate:.0f} points/s ({dt:.1f}s)", file=sys.stderr)
+    log(f"cpu baseline (msm_mt, {os.cpu_count()} threads, 2^{log2n}): "
+        f"{rate:.0f} points/s ({dt:.1f}s)")
     return rate
 
 
-def main():
-    if os.environ.get("BENCH_MODE") == "verify":
-        bench_verify()
-        return
-    if os.environ.get("BENCH_MODE") == "pairing":
-        bench_pairing()
-        return
+def bench_msm():
     log2n = int(os.environ.get("BENCH_LOG2N", "20"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     n = 1 << log2n
 
-    from snark_verifier_tpu.ec import G1, generator, to_affine_int, py_ec
+    from snark_verifier_tpu.ec import to_affine_int, py_ec
     from snark_verifier_tpu.ff.spec import FR, int_to_limbs
     from snark_verifier_tpu.msm import msm, msm_rns
 
@@ -223,23 +116,17 @@ def main():
     t0 = time.time()
     points = gen_points(n)
     points.block_until_ready()
-    print(f"# point gen: {time.time()-t0:.1f}s", file=sys.stderr)
+    log(f"point gen: {time.time()-t0:.1f}s")
 
     rng = np.random.default_rng(42)
     ks = [int.from_bytes(rng.bytes(32), "little") % FR.p for i in range(n)]
     scalars = jnp.asarray(np.stack([int_to_limbs(k) for k in ks]))
 
-    def _sync(x):
-        # block_until_ready returns early through the axon tunnel; a
-        # device_get of one element is the only reliable barrier.
-        np.asarray(jax.device_get(x.ravel()[:1]))
-
-    import jax
-
     t0 = time.time()
     out, ovf = kernel(points, scalars, c=c_bits)
     _sync(out)
-    print(f"# msm compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    log(f"msm compile+first run: {compile_s:.1f}s")
 
     times = []
     for _ in range(reps):
@@ -249,28 +136,182 @@ def main():
         times.append(time.time() - t0)
     dt = min(times)
 
-    # self-check: expected scalar on the generator
     k_total = sum(s * (i + 1) for i, s in enumerate(ks)) % FR.p
     want = py_ec.scalar_mul(py_ec.G1_GEN, k_total)
-    got = to_affine_int(out)
-    ok = (got == want) and not bool(ovf)
-    print(f"# correct={ok} overflow={bool(ovf)} best={dt:.3f}s", file=sys.stderr)
+    ok = (to_affine_int(out) == want) and not bool(ovf)
+    log(f"msm correct={ok} overflow={bool(ovf)} best={dt:.3f}s")
 
     cpu_rate = measure_cpu_baseline()
-    value = round(n / dt, 1)
-    print(
-        json.dumps(
-            {
-                "metric": f"msm_points_per_sec_2^{log2n}_bn254_g1"
-                + ("" if ok else "_INCORRECT"),
-                "value": value,
-                "unit": "points/s",
-                "vs_baseline": (
-                    round(value / cpu_rate, 3) if cpu_rate else 1.0
-                ),
-            }
-        )
+    return {
+        "msm_log2n": log2n,
+        "msm_points_per_sec": round(n / dt, 1),
+        "msm_correct": ok,
+        "msm_compile_s": round(compile_s, 1),
+        "msm_cpu_baseline_points_per_sec": round(cpu_rate, 1) if cpu_rate else None,
+    }
+
+
+def _load_fixture_snarks():
+    from snark_verifier_tpu.sdk.snark import Snark
+    from snark_verifier_tpu.sdk.srs import load_params
+
+    d = os.path.join(REPO, "benchmarks", "fixtures", "vanilla_k10")
+    if not os.path.isdir(d):
+        return None, None
+    srs = load_params(os.path.join(d, "srs.bin"))
+    snarks = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("snark_"):
+            snarks.append(Snark.load(os.path.join(d, name)))
+    return srs, snarks
+
+
+def bench_verify():
+    """Proofs/s at batch BENCH_BATCH on distinct full-equation vanilla-PLONK
+    snarks (k=10; permutation + lookup + user challenge).  The 16 committed
+    fixture snarks are tiled to fill the batch — verification work is
+    per-element identical either way; distinctness guards against any
+    accidental batch-level dedup."""
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    from snark_verifier_tpu.parallel import batch_verify_sharded
+    from snark_verifier_tpu.verifier.plonk.verifier import verify_snark_native
+
+    srs, base = _load_fixture_snarks()
+    if not base:
+        log("verify: no fixtures found, skipping")
+        return {}
+    snarks = [base[i % len(base)] for i in range(B)]
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("batch",))
+
+    timings = {}
+    t0 = time.time()
+    oks = batch_verify_sharded(snarks, srs, mesh, "shplonk", timings=timings)
+    _sync(oks)
+    compile_s = time.time() - t0
+    log(f"verify compile+first run: {compile_s:.1f}s {timings}")
+    ok = bool(np.asarray(oks).all())
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        _sync(batch_verify_sharded(snarks, srs, mesh, "shplonk"))
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    # negative control: one tampered instance must flip exactly its lane
+    # (same batch size B so the compiled executable is reused)
+    from snark_verifier_tpu.ff.spec import FR as _FR
+    from snark_verifier_tpu.sdk.snark import Snark as _S
+
+    tam = _S(snarks[0].protocol, [list(snarks[0].instances[0])],
+             snarks[0].scalars, snarks[0].points)
+    tam.instances[0][0] = (tam.instances[0][0] + 1) % _FR.p
+    neg = np.asarray(batch_verify_sharded([tam] + snarks[1:], srs, mesh,
+                                          "shplonk"))
+    neg_ok = (not bool(neg[0])) and bool(neg[1:].all())
+    log(f"verify correct={ok} negative_control={neg_ok} best={dt:.3f}s")
+
+    # CPU reference rate: the python native-loader verifier (reference
+    # NativeLoader execution model), same snark
+    t0 = time.time()
+    n_native = 2
+    for i in range(n_native):
+        assert verify_snark_native(base[i], srs, "shplonk")
+    native_rate = n_native / (time.time() - t0)
+    log(f"native-loader verify: {native_rate:.2f} proofs/s")
+
+    return {
+        "verify_batch": B,
+        "verify_proofs_per_sec": round(B / dt, 2),
+        "verify_correct": ok and neg_ok,
+        "verify_compile_s": round(compile_s, 1),
+        "verify_native_baseline_proofs_per_sec": round(native_rate, 2),
+        "verify_workload": "vanilla_plonk_k10_perm_lookup_challenge_shplonk",
+    }
+
+
+def bench_pairing():
+    B = int(os.environ.get("BENCH_BATCH_PAIRING", "256"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    import random
+
+    from snark_verifier_tpu.ec import from_affine_int, py_ec
+    from snark_verifier_tpu.ff.spec import FR
+    from snark_verifier_tpu.pcs.kzg.decider import decide
+    from snark_verifier_tpu.sdk.srs import toy_srs
+
+    srs = toy_srs(8, seed=0xA11CE)
+    tau = random.Random(0xA11CE).randrange(1, FR.p)
+    # valid accumulators: lhs = tau * rhs  =>  e(lhs, g2) e(rhs, -tau g2) == 1
+    rng = np.random.default_rng(3)
+    ks = [int.from_bytes(rng.bytes(31)) for _ in range(B)]
+    rhs = from_affine_int([py_ec.scalar_mul(py_ec.G1_GEN, k) for k in ks])
+    lhs = from_affine_int(
+        [py_ec.scalar_mul(py_ec.G1_GEN, k * tau % FR.p) for k in ks]
     )
+    fn = jax.jit(lambda l, r: decide(srs, l, r))
+
+    t0 = time.time()
+    ok = fn(lhs, rhs)
+    _sync(ok)
+    compile_s = time.time() - t0
+    log(f"pairing compile+first: {compile_s:.1f}s")
+    all_ok = bool(np.asarray(ok).all())
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        _sync(fn(lhs, rhs))
+        times.append(time.time() - t0)
+    dt = min(times)
+    log(f"pairing correct={all_ok} best={dt:.3f}s")
+    return {
+        "pairing_batch": B,
+        "pairing_checks_per_sec": round(B / dt, 2),
+        "pairing_correct": all_ok,
+        "pairing_compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "all")
+    budget = float(os.environ.get("BENCH_BUDGET", "3000"))
+    start = time.time()
+    r = {}
+    phases = {
+        "msm": bench_msm,
+        "verify": bench_verify,
+        "pairing": bench_pairing,
+    }
+    order = [mode] if mode in phases else ["msm", "verify", "pairing"]
+    for name in order:
+        if time.time() - start > budget and r:
+            log(f"budget {budget}s exceeded, skipping {name}")
+            continue
+        try:
+            r.update(phases[name]())
+        except Exception as e:  # a phase failure must not eat the others
+            log(f"{name} phase FAILED: {type(e).__name__}: {e}")
+            r[f"{name}_error"] = f"{type(e).__name__}: {e}"
+
+    msm_rate = r.get("msm_points_per_sec")
+    cpu = r.get("msm_cpu_baseline_points_per_sec")
+    primary_ok = r.get("msm_correct", False)
+    line = {
+        "metric": "msm_points_per_sec_2^%s_bn254_g1" % r.get("msm_log2n", 20)
+        + ("" if primary_ok else "_INCORRECT"),
+        "value": msm_rate if msm_rate is not None else 0.0,
+        "unit": "points/s",
+        "vs_baseline": (
+            round(msm_rate / cpu, 3) if (msm_rate and cpu) else 1.0
+        ),
+        "extra": {
+            k: v
+            for k, v in r.items()
+            if not k.startswith("msm_") or k in ("msm_compile_s",)
+        },
+    }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

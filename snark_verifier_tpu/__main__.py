@@ -75,6 +75,48 @@ def cmd_tree(args):
     print("PASS")
 
 
+def cmd_gen_evm_verifier(args):
+    """Emit a standalone Yul verifier contract for a protocol and (unless
+    --no-check) prove + execute it in the in-process evaluator (the
+    reference's gen_evm_verifier_* + evm_verify, evm.rs:122-192)."""
+    import time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # host-side codegen path
+    from snark_verifier_tpu.sdk.evm import evm_verify, gen_evm_verifier_report
+    from snark_verifier_tpu.sdk.proof_io import proof_to_bytes
+    from snark_verifier_tpu.sdk.snark import Snark
+    from snark_verifier_tpu.sdk.srs import toy_srs
+    from snark_verifier_tpu.system.standard_plonk import (
+        StandardPlonk,
+        build_protocol,
+        prove,
+    )
+    from snark_verifier_tpu.transcript import EvmTranscriptPy
+
+    srs = toy_srs(max(32, 4 << args.k))
+    circuit = StandardPlonk.rand(k=args.k, seed=11)
+    protocol = build_protocol(circuit, srs)
+    t0 = time.time()
+    yul, rep = gen_evm_verifier_report(protocol, srs, args.scheme)
+    with open(args.out, "w") as f:
+        f.write(yul)
+    print(f"wrote {args.out}: {len(yul)} bytes of Yul in {time.time()-t0:.2f}s")
+    print(f"estimated gas: {rep['estimated_gas']}  "
+          f"estimated code size: {rep['estimated_code_size']} "
+          f"(EIP-170 limit 24576)")
+    if not args.no_check:
+        t = EvmTranscriptPy()
+        scalars, points = prove(circuit, protocol, srs, scheme=args.scheme,
+                                transcript=t)
+        snark = Snark(protocol, [list(circuit.instance)], scalars, points)
+        gas = evm_verify(yul, snark.instances,
+                         proof_to_bytes(snark, args.scheme, fmt="evm"))
+        print(f"executed generated verifier on a real proof: gas_used={gas}")
+        print("PASS")
+
+
 def cmd_bench_msm(args):
     os.environ["BENCH_LOG2N"] = str(args.log2n)
     os.environ["BENCH_BACKEND"] = args.backend
@@ -106,6 +148,13 @@ def main(argv=None):
     b.add_argument("--log2n", type=int, default=16)
     b.add_argument("--backend", default="rns", choices=["rns", "limb"])
 
+    g = sub.add_parser("gen-evm-verifier", parents=[common],
+                       help="emit + execute a Yul verifier contract")
+    g.add_argument("--scheme", default="shplonk", choices=["shplonk", "gwc"])
+    g.add_argument("--k", type=int, default=3)
+    g.add_argument("--out", default="verifier.yul")
+    g.add_argument("--no-check", action="store_true")
+
     args = ap.parse_args(argv)
     from snark_verifier_tpu.utils.timing import METER
 
@@ -116,6 +165,7 @@ def main(argv=None):
             "aggregate": cmd_aggregate,
             "tree": cmd_tree,
             "bench-msm": cmd_bench_msm,
+            "gen-evm-verifier": cmd_gen_evm_verifier,
         }[args.cmd](args)
     finally:
         METER.end(args.cmd)

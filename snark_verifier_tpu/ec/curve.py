@@ -78,10 +78,18 @@ class CurveOps:
 
     def add(self, p, q):
         """Complete addition (RC15 alg. 7, a=0): 12M + 2·(3b) in 2 layers."""
-        F = self.F
         p, q = jnp.broadcast_arrays(p, q)
         x1, y1, z1 = self.coords(p)
         x2, y2, z2 = self.coords(q)
+        x3, y3, z3 = self.add_xyz(x1, y1, z1, x2, y2, z2)
+        return self.stack(x3, y3, z3)
+
+    def add_xyz(self, x1, y1, z1, x2, y2, z2):
+        """RC15 complete add on separate coordinate arrays.  Lets callers
+        with non-(…,3,L) point layouts (e.g. the MSM fold's flat (…,3·L)
+        rows) run the group law without stack/slice relayouts, which cost
+        more than the adds themselves at 2^20 MSM shapes (PERFNOTES)."""
+        F = self.F
         # Layer 1: six independent products.
         l1a = jnp.stack(
             [x1, y1, z1, F.add(x1, y1), F.add(y1, z1), F.add(x1, z1)], 0
@@ -115,12 +123,12 @@ class CurveOps:
                 0,
             )
             out = F.reduce_d(comb)
-            return self.stack(out[0], out[1], out[2])
+            return out[0], out[1], out[2]
         mm = F.mul(l2a, l2b)
         x3 = F.sub(mm[0], mm[1])  # t3·t1m − t4·yb
         y3 = F.add(mm[3], mm[2])  # t1m·z3l + yb·t0_3
         z3 = F.add(mm[5], mm[4])  # z3l·t4 + t0_3·t3
-        return self.stack(x3, y3, z3)
+        return x3, y3, z3
 
     def double(self, pt):
         """Complete doubling (RC15 alg. 9, a=0): 8M + 1·(3b) in 2 layers."""

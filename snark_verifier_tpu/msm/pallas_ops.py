@@ -334,6 +334,49 @@ def _pallas_fold_halving(mat, layers: int, interpret: bool = False,
     )(*consts, mat)
 
 
+def _halving_fold_kernel_2d(wb: int, layers: int, L: int = 35):
+    """`layers` halving layers on a 2D (wb, 105) block — the same shape
+    profile as the production `add` kernel (which Mosaic compiles in
+    seconds, vs 3D (bb, w, 105) blocks which stall its compiler for tens of
+    minutes at ANY size; measured round 3)."""
+
+    def kernel(*refs):
+        *const_refs, mat_ref, out_ref = refs
+        F = _kernel_field(const_refs)
+        cs = [mat_ref[:, i * L : (i + 1) * L] for i in range(3)]
+        width = wb
+        for _ in range(layers):
+            half = width // 2
+            lo = [c[:half] for c in cs]
+            hi = [c[half : 2 * half] for c in cs]
+            cs = list(_rc15_add_nocat(F, *lo, *hi))
+            width = half
+        for i in range(3):
+            out_ref[:, i * L : (i + 1) * L] = cs[i]
+
+    return kernel
+
+
+def _pallas_fold_grid2d(mat, wb: int, layers: int, interpret: bool = False):
+    """(NB, w, 105) -> (NB, (w/wb)*(wb>>layers), 105); 2D blocks, one grid
+    step per (bucket, width-chunk)."""
+    NB, w, FL = mat.shape
+    assert w % wb == 0
+    g = wb >> layers
+    consts = _consts_host()
+    return pl.pallas_call(
+        _halving_fold_kernel_2d(wb, layers),
+        out_shape=jax.ShapeDtypeStruct((NB, (w // wb) * g, FL), jnp.uint16),
+        grid=(NB, w // wb),
+        in_specs=_const_specs()
+        + [pl.BlockSpec((None, wb, FL), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, g, FL), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*consts, mat)
+
+
 def _pallas_fold_grid(mat, wb: int, layers: int, interpret: bool = False,
                       vmem_budget: int = 3_000_000):
     """(NB, w, 105) -> (NB, (w/wb)*(wb>>layers), 105) via a 2D grid over
@@ -377,7 +420,7 @@ def fold_buckets_grid(mat, identity_row, wb: int = 512, layers: int = 4,
                 fill = jnp.broadcast_to(identity_row, (NB, pad, FL))
                 mat = jnp.concatenate([mat, fill], axis=1)
                 w += pad
-            mat = _pallas_fold_grid(mat, wb, layers, interpret=interpret)
+            mat = _pallas_fold_grid2d(mat, wb, layers, interpret=interpret)
             w = (w // wb) * (wb >> layers)
         else:
             lyr = min(layers, (w - 1).bit_length())
@@ -387,7 +430,7 @@ def fold_buckets_grid(mat, identity_row, wb: int = 512, layers: int = 4,
                 fill = jnp.broadcast_to(identity_row, (NB, pad, FL))
                 mat = jnp.concatenate([mat, fill], axis=1)
                 w += pad
-            mat = _pallas_fold_halving(mat, lyr, interpret=interpret)
+            mat = _pallas_fold_grid2d(mat, w, lyr, interpret=interpret)
             w >>= lyr
     return mat[:, 0]
 

@@ -172,15 +172,16 @@ _FOLD_STOP = 512
 
 
 def _flat_add(curve, a, b):
-    """curve.add on FLAT (..., 3*L) points: lane-slices the coordinates and
-    re-concats, avoiding the (..., 3, L) relayout reshape that costs ~1.7s
-    per 2^20 MSM.  Identical math (it calls the same CurveOps.add)."""
+    """curve.add on FLAT (..., 3*L) points: lane-slices the coordinates,
+    runs the group law on them directly (CurveOps.add_xyz), and re-concats —
+    no (..., 3, L) stack/unstack relayouts, which cost ~1.7s + 0.9s of
+    copies per 2^20 MSM (PERFNOTES trace).  Identical math."""
     L = a.shape[-1] // 3
-    pa = jnp.stack([a[..., :L], a[..., L : 2 * L], a[..., 2 * L :]], axis=-2)
-    pb = jnp.stack([b[..., :L], b[..., L : 2 * L], b[..., 2 * L :]], axis=-2)
-    o = curve.add(pa, pb)
-    x, y, z = o[..., 0, :], o[..., 1, :], o[..., 2, :]
-    return jnp.concatenate([x, y, z], axis=-1)
+    x3, y3, z3 = curve.add_xyz(
+        a[..., :L], a[..., L : 2 * L], a[..., 2 * L :],
+        b[..., :L], b[..., L : 2 * L], b[..., 2 * L :],
+    )
+    return jnp.concatenate([x3, y3, z3], axis=-1)
 
 
 def _tree_fold_flat(curve, mat, axis_len: int, stop: int = 1):
@@ -211,17 +212,22 @@ def _bucket_accumulate(curve, points_ext, idx, capacity: int, stop: int = 1):
 
 
 def _fold_buckets_pallas(curve, points_ext, idx, interpret: bool = False):
-    """Gather + WHOLE-tree fold in one Pallas kernel (RNS backend only):
-    (n_buckets, capacity) slot indices -> (n_buckets,) + elem bucket sums.
-    The gather stays in XLA (its row-gather lowering beats per-row DMA);
-    the fold runs entirely in VMEM (msm/pallas_ops.fold_buckets)."""
-    from .pallas_ops import fold_buckets_chunked
+    """Gather + tree fold with fixed-width grid-chunked Pallas kernels (RNS
+    backend only): (n_buckets, capacity) slot indices -> (n_buckets,) + elem
+    bucket sums.  The gather stays in XLA (its row-gather lowering beats
+    per-row DMA); the fold levels run in VMEM with a constant (bb, wb, 105)
+    block shape so the Mosaic program count stays O(1) regardless of
+    capacity (msm/pallas_ops.fold_buckets_grid)."""
+    from .pallas_ops import fold_buckets_grid
 
+    wb = int(os.environ.get("MSM_PALLAS_WB", "512"))
+    layers = int(os.environ.get("MSM_PALLAS_LAYERS", "4"))
     nb, cap = idx.shape
     flat = points_ext.reshape(points_ext.shape[0], -1)  # (n+1, 105) u16
     mat = jnp.take(flat, idx, axis=0)  # (nb, cap, 105)
     identity_row = curve.infinity().reshape(-1)  # RNS-Montgomery (0:1:0)
-    out = fold_buckets_chunked(mat, identity_row, interpret=interpret)
+    out = fold_buckets_grid(mat, identity_row, wb=wb, layers=layers,
+                            interpret=interpret)
     return out.reshape((nb,) + points_ext.shape[1:])
 
 
