@@ -283,35 +283,41 @@ def main():
         "verify": bench_verify,
         "pairing": bench_pairing,
     }
+    def emit(r):
+        """Print the JSON line with everything measured SO FAR — emitted
+        after every phase so a mid-phase kill (driver timeout) still leaves
+        a parseable last line with the completed phases."""
+        msm_rate = r.get("msm_points_per_sec")
+        cpu = r.get("msm_cpu_baseline_points_per_sec")
+        primary_ok = r.get("msm_correct", False)
+        line = {
+            "metric": "msm_points_per_sec_2^%s_bn254_g1" % r.get("msm_log2n", 20)
+            + ("" if primary_ok else "_INCORRECT"),
+            "value": msm_rate if msm_rate is not None else 0.0,
+            "unit": "points/s",
+            "vs_baseline": (
+                round(msm_rate / cpu, 3) if (msm_rate and cpu) else 1.0
+            ),
+            "extra": {
+                k: v
+                for k, v in r.items()
+                if not k.startswith("msm_") or k in ("msm_compile_s",)
+            },
+        }
+        print(json.dumps(line), flush=True)
+
     order = [mode] if mode in phases else ["msm", "verify", "pairing"]
     for name in order:
         if time.time() - start > budget and r:
             log(f"budget {budget}s exceeded, skipping {name}")
+            r[f"{name}_skipped"] = "budget"
             continue
         try:
             r.update(phases[name]())
         except Exception as e:  # a phase failure must not eat the others
             log(f"{name} phase FAILED: {type(e).__name__}: {e}")
             r[f"{name}_error"] = f"{type(e).__name__}: {e}"
-
-    msm_rate = r.get("msm_points_per_sec")
-    cpu = r.get("msm_cpu_baseline_points_per_sec")
-    primary_ok = r.get("msm_correct", False)
-    line = {
-        "metric": "msm_points_per_sec_2^%s_bn254_g1" % r.get("msm_log2n", 20)
-        + ("" if primary_ok else "_INCORRECT"),
-        "value": msm_rate if msm_rate is not None else 0.0,
-        "unit": "points/s",
-        "vs_baseline": (
-            round(msm_rate / cpu, 3) if (msm_rate and cpu) else 1.0
-        ),
-        "extra": {
-            k: v
-            for k, v in r.items()
-            if not k.startswith("msm_") or k in ("msm_compile_s",)
-        },
-    }
-    print(json.dumps(line))
+        emit(r)
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <atomic>
 #include <thread>
 #include <vector>
 
@@ -318,6 +319,56 @@ void bn254_enumerate_points(const u64* g, long n, u64* out) {
         g1_add(&acc, (const G1*)g, &acc);
         memcpy(out + 12 * i, &acc, 96);
     }
+}
+
+// Pippenger slot assignment on the host: the device MSM's prep phase
+// (digit extraction -> stable rank-in-bucket -> slot-index matrices) is
+// pure integer bookkeeping whose XLA module costs ~20 min of remote
+// compile for 0.7s of runtime; counting it on the CPU is ~100ms and
+// compiles nothing.  Layout matches msm/pippenger._slot_indices: windows
+// 0..W-2 get (n_buckets, cap) int32 point indices (sentinel n = the
+// infinity row), the top window gets (trange, tcap); digit-0 entries are
+// dropped; a bucket exceeding its capacity sets *overflow (detect, never
+// silently drop — the caller retries with a larger capacity).
+void bn254_slot_indices(const u64* scalars, long n, int c, long cap,
+                        long trange, long tcap, int* idx_main, int* idx_top,
+                        int* overflow, int nthreads) {
+    const int W = (256 + c - 1) / c;
+    const long nb = 1L << c;
+    const u64 mask = (1ULL << c) - 1;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 64) nthreads = 64;
+    std::vector<int> ovf(W, 0);
+    auto do_window = [&](int w) {
+        const bool top = (w == W - 1);
+        const long nbw = top ? trange : nb;
+        const long capw = top ? tcap : cap;
+        int* out = top ? idx_top : idx_main + (long)w * nb * cap;
+        for (long j = 0; j < nbw * capw; ++j) out[j] = (int)n;
+        std::vector<long> counters(nbw, 0);
+        const int bit0 = w * c;
+        const int limb = bit0 >> 6, off = bit0 & 63;
+        for (long i = 0; i < n; ++i) {
+            const u64* s = scalars + 4 * i;
+            u64 d = s[limb] >> off;
+            if (off + c > 64 && limb + 1 < 4) d |= s[limb + 1] << (64 - off);
+            d &= mask;
+            if (!d) continue;
+            long r = counters[d]++;
+            if (r < capw) out[d * capw + r] = (int)i;
+            else ovf[w] = 1;
+        }
+    };
+    std::vector<std::thread> threads;
+    std::atomic<int> next(0);
+    for (int t = 0; t < nthreads; ++t)
+        threads.emplace_back([&]() {
+            int w;
+            while ((w = next.fetch_add(1)) < W) do_window(w);
+        });
+    for (auto& th : threads) th.join();
+    *overflow = 0;
+    for (int w = 0; w < W; ++w) *overflow |= ovf[w];
 }
 
 void bn254_scalar_mul(const u64* point, const u64* scalar, u64* out) {

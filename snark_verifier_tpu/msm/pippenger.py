@@ -47,19 +47,18 @@ from ..ec.g1 import G1
 
 
 def _pallas_fold_default() -> bool:
-    """Fused Pallas bucket fold (opt-in: MSM_PALLAS_FOLD=1).
+    """Fused Pallas bucket fold: default ON on real TPU backends
+    (MSM_PALLAS_FOLD=0 reverts to the XLA fold).
 
-    Default OFF: the kernels are bit-exact (interpret-mode gated in
-    tests/test_msm.py) but this image's remote Mosaic/XLA compile service
-    cannot compile the production 2^20 shapes — a monolithic whole-tree
-    kernel crashed it outright ('Unexpected EOF'), a scanned variant OOM-
-    killed it (SIGKILL), and the host-orchestrated chunked variant still
-    exceeded a 50-minute compile budget.  See PERFNOTES.md round-2 notes;
-    re-enable when a native Mosaic toolchain is available."""
+    Round-2 blocker solved in round 3: 3D kernel blocks stalled the remote
+    Mosaic compiler at any width; the 2D fixed-width grid fold
+    (pallas_ops.fold_buckets_grid) compiles in seconds and folds a full
+    (256, 4624, 105) window in 176ms — combined with the host C++ slot
+    assignment this is the production 2^20 path (PERFNOTES round 3)."""
     env = os.environ.get("MSM_PALLAS_FOLD")
     if env is not None:
         return env not in ("", "0")
-    return False
+    return jax.default_backend() != "cpu"
 
 C_BITS = 8  # default window size for the positional backend
 SCALAR_BITS = 256
@@ -396,6 +395,11 @@ def msm_rns(points, scalars_u16, capacity: Optional[int] = None, c: int = C_BITS
         capacity = default_capacity(n, 1 << c)
     if pallas_fold is None:
         pallas_fold = _pallas_fold_default()
+    if isinstance(points, jax.core.Tracer):
+        # called under jit/vmap/shard_map (e.g. parallel/msm_sharded): the
+        # host-orchestrated Pallas pipeline can't run inside a trace — use
+        # the single-module engine
+        return _msm_rns_jit(points, scalars_u16, capacity, c, False, False)
     if pallas_fold:
         return _msm_rns_pallas_host(points, scalars_u16, capacity, c, interpret)
     return _msm_rns_jit(points, scalars_u16, capacity, c, False, False)
@@ -422,28 +426,56 @@ def _pjit(key, fn, **kw):
 def _msm_rns_pallas_host(points, scalars_u16, capacity: int, c: int,
                          interpret: bool):
     from ..ec.rns_g1 import G1R, from_rns, to_rns
+    from ..utils import native
 
     n = points.shape[0]
     n_buckets = 1 << c
     trange = top_range(c)
     tcap = max(capacity, top_capacity(n, c))
 
-    def prep(points, scalars_u16):
-        points_ext = jnp.concatenate([to_rns(points), G1R.infinity((1,))], 0)
-        digits = extract_digits(scalars_u16, c)
-        idx_all, overflow = _slot_indices(digits[:-1], n_buckets, capacity)
-        top_idx, top_o = _slot_indices(digits[-1:], trange, tcap)
-        return points_ext, idx_all, top_idx[0], overflow | top_o
+    if native.available() and not interpret:
+        # Host C++ slot assignment: same output as the device prep module
+        # but ~100ms of counting instead of a ~20-minute XLA compile for a
+        # 0.7s run (PERFNOTES round 3).  Only the (W, nb, cap) int32 index
+        # matrices cross the host->device boundary.
+        sc = np.asarray(scalars_u16).astype(np.uint64)  # (n, 16), 16-bit vals
+        packed = (
+            sc[:, 0::4]
+            | (sc[:, 1::4] << np.uint64(16))
+            | (sc[:, 2::4] << np.uint64(32))
+            | (sc[:, 3::4] << np.uint64(48))
+        )  # (n, 4) u64 little-endian
+        idx_main, idx_top_np, ovf_host = native.slot_indices(
+            packed, c, capacity, trange, tcap
+        )
+        pext = _pjit(
+            ("prep_pts", n),
+            lambda p: jnp.concatenate([to_rns(p), G1R.infinity((1,))], 0),
+        )
+        points_ext = pext(points)
+        # per-window async puts: the 31 x ~5MB index uploads overlap with the
+        # fold kernels of earlier windows instead of serializing up front
+        idx_all = [jax.device_put(idx_main[w]) for w in range(idx_main.shape[0])]
+        top_idx = jax.device_put(idx_top_np)
+        overflow = jnp.asarray(ovf_host)
+    else:
+        def prep(points, scalars_u16):
+            points_ext = jnp.concatenate([to_rns(points), G1R.infinity((1,))], 0)
+            digits = extract_digits(scalars_u16, c)
+            idx_all, overflow = _slot_indices(digits[:-1], n_buckets, capacity)
+            top_idx, top_o = _slot_indices(digits[-1:], trange, tcap)
+            return points_ext, idx_all, top_idx[0], overflow | top_o
 
-    points_ext, idx_all, top_idx, overflow = _pjit(
-        ("prep", n, capacity, c), prep
-    )(points, scalars_u16)
+        points_ext, idx_all, top_idx, overflow = _pjit(
+            ("prep", n, capacity, c), prep
+        )(points, scalars_u16)
 
     fold_w = _pjit(
         ("fold", n, capacity, c, interpret),
         lambda pe, idx: _fold_buckets_pallas(G1R, pe, idx, interpret=interpret),
     )
-    buckets = [fold_w(points_ext, idx_all[w]) for w in range(idx_all.shape[0])]
+    n_main = len(idx_all) if isinstance(idx_all, list) else idx_all.shape[0]
+    buckets = [fold_w(points_ext, idx_all[w]) for w in range(n_main)]
     top_b = _pjit(
         ("fold", n, tcap, c, interpret, "top"),
         lambda pe, idx: _fold_buckets_pallas(G1R, pe, idx, interpret=interpret),

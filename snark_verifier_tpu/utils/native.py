@@ -60,6 +60,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bn254_fe_mul_batch.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
     lib.bn254_fe_inv_batch.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
     lib.bn254_msm_mt.argtypes = [u64p, u64p, ctypes.c_long, ctypes.c_int, u64p]
+    i32nd = np.ctypeslib.ndpointer(np.int32, flags="C")
+    lib.bn254_slot_indices.argtypes = [
+        u64p, ctypes.c_long, ctypes.c_int, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, i32nd, i32nd, i32nd, ctypes.c_int,
+    ]
     return lib
 
 
@@ -168,3 +173,27 @@ def srs_powers(g, tau: int, n: int) -> List:
     out = np.zeros(12 * n, np.uint64)
     lib.bn254_srs_powers(_enc_point(g), _limbs64(tau % FR.p), n, out)
     return [_dec_point(out[12 * i : 12 * (i + 1)]) for i in range(n)]
+
+
+def slot_indices(scalars_u64: np.ndarray, c: int, cap: int, trange: int,
+                 tcap: int, nthreads: int = 0):
+    """Host Pippenger slot assignment (bn254_slot_indices): scalars (n, 4)
+    u64 LE -> (idx_main (W-1, 2^c, cap) i32, idx_top (trange, tcap) i32,
+    overflow bool), with n as the sentinel index.  Replaces the device prep
+    module (digit extract + rank + scatter) whose XLA compile costs ~20 min
+    for 0.7s of runtime (PERFNOTES round 3)."""
+    lib = _load()
+    assert lib is not None
+    n = scalars_u64.shape[0]
+    W = (256 + c - 1) // c
+    nb = 1 << c
+    sc = np.ascontiguousarray(scalars_u64.reshape(-1).astype(np.uint64))
+    idx_main = np.empty((W - 1) * nb * cap, np.int32)
+    idx_top = np.empty(trange * tcap, np.int32)
+    ovf = np.zeros(1, np.int32)
+    lib.bn254_slot_indices(
+        sc, n, c, cap, trange, tcap, idx_main, idx_top, ovf,
+        nthreads or (os.cpu_count() or 1),
+    )
+    return (idx_main.reshape(W - 1, nb, cap), idx_top.reshape(trange, tcap),
+            bool(ovf[0]))

@@ -55,9 +55,11 @@ def pytest_runtestloop(session):
         return None  # single module: no isolation needed
 
     opts = []
-    if session.config.option.exitfirst:
+    exitfirst = bool(getattr(session.config.option, "exitfirst", False) or
+                     getattr(session.config.option, "maxfail", 0) == 1)
+    if exitfirst:
         opts.append("-x")
-    kexpr = session.config.option.keyword
+    kexpr = getattr(session.config.option, "keyword", "")
     if kexpr:
         opts += ["-k", kexpr]
     opts.append("-q")
@@ -71,13 +73,23 @@ def pytest_runtestloop(session):
     t_start = time.time()
     for m in modules:
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", *opts, m],
-            env=env,
-            cwd=str(session.config.rootpath),
-            capture_output=True,
-            text=True,
-        )
+        attempts = 0
+        while True:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", *opts, m],
+                env=env,
+                cwd=str(session.config.rootpath),
+                capture_output=True,
+                text=True,
+            )
+            attempts += 1
+            # retry ONCE on a native crash (negative returncode = signal):
+            # this image's XLA:CPU compiler segfaults nondeterministically
+            # under load; a genuine test failure (rc>0) is never retried
+            if proc.returncode >= 0 or attempts >= 2:
+                break
+            print(f"[isolated] {m}: crashed (signal {-proc.returncode}), "
+                  f"retrying once", flush=True)
         out = proc.stdout + proc.stderr
         mp = mf = ms = 0
         for num, kind in re.findall(r"(\d+) (passed|failed|error|skipped)", out):
@@ -101,7 +113,7 @@ def pytest_runtestloop(session):
             failed_modules.append(m)
             tail = "\n".join(out.strip().splitlines()[-30:])
             print(tail, flush=True)
-            if session.config.option.exitfirst:
+            if exitfirst:
                 break
 
     print(f"[isolated] TOTAL: {total_passed} passed, {total_failed} failed, "
