@@ -163,3 +163,76 @@ def test_estimate_gas_matches_reference_model():
     proof_size = 10 * 64 + (20 + 4) * 32
     expect = 21000 + math.ceil(proof_size * 15.25) + 45100 + 2 * 34000 + (15 - 2) * 6350
     assert estimate_gas(c) == expect
+
+
+def test_evm_verifier_with_accumulator():
+    """The reference's evm-verifier-with-accumulator shape
+    (examples/evm-verifier-with-accumulator.rs): a snark carrying a folded
+    accumulator in its instances gets an EVM verifier that decodes the
+    limbs (shl-composition + on-curve validation, accumulator.rs:97-124)
+    and decides BOTH accumulators with the keccak-RLC batch fold
+    (decider.rs:129-170) — one pairing for the whole thing."""
+    from snark_verifier_tpu.pcs.kzg.accumulation import KzgAs
+    from snark_verifier_tpu.pcs.kzg.accumulator import accumulator_to_limbs_int
+    from snark_verifier_tpu.system.standard_plonk import prove as std_prove
+    from snark_verifier_tpu.transcript import PoseidonTranscriptPy
+    from snark_verifier_tpu.verifier.plonk.verifier import succinct_verify_native
+
+    srs = toy_srs(32)
+    # two leaves -> native succinct verify -> KzgAs fold
+    leaf_accs = []
+    for seed in (21, 22):
+        circ = StandardPlonk.rand(k=3, seed=seed)
+        proto = build_protocol(circ, srs)
+        t = PoseidonTranscriptPy()
+        scalars, points = std_prove(circ, proto, srs, scheme="shplonk", transcript=t)
+        leaf = Snark(proto, [list(circ.instance)], scalars, points)
+        leaf_accs.append(succinct_verify_native(leaf, srs, "shplonk")[0])
+    folded = KzgAs.create_proof((srs.g, srs.g1_powers[1]), leaf_accs,
+                                PoseidonTranscriptPy())
+    limbs = accumulator_to_limbs_int(folded)
+
+    # aggregation snark carrying the limbs, proved under the EVM transcript
+    circ = StandardPlonk.rand(k=4, seed=23, num_instance=12)
+    for i, v in enumerate(limbs):
+        delta = (v - circ.instance[i]) % FR.p
+        circ.c[i] = (circ.c[i] - delta) % FR.p
+        circ.instance[i] = v
+    protocol = build_protocol(circ, srs)
+    protocol.accumulator_indices = [[(0, j) for j in range(12)]]
+    t = EvmTranscriptPy()
+    scalars, points = prove(circ, protocol, srs, scheme="shplonk", transcript=t)
+    snark = Snark(protocol, [list(circ.instance)], scalars, points)
+    proof = proof_to_bytes(snark, "shplonk", fmt="evm")
+
+    yul = gen_evm_verifier(protocol, srs, "shplonk")
+    # the RLC fold must be present: ONE pairing precompile call, and a
+    # keccak over the stacked accumulator coordinates
+    assert yul.count("staticcall(gas(), 0x8") == 1
+    gas = evm_verify(yul, snark.instances, proof)
+    assert gas > 100_000
+
+    # corrupting a limb must fail validate_ec_point on the decoded point
+    bad = [list(snark.instances[0])]
+    bad[0][0] = (bad[0][0] + 1) % FR.p
+    with pytest.raises(errors.AssertionFailure):
+        evm_verify(yul, bad, proof)
+
+    # an on-curve but invalid old accumulator must fail the pairing
+    from snark_verifier_tpu.ec import py_ec
+
+    p1, p2 = py_ec.rand_points(2, seed=77)
+    bad_limbs = accumulator_to_limbs_int((p1, p2))
+    circ2 = StandardPlonk.rand(k=4, seed=23, num_instance=12)
+    for i, v in enumerate(bad_limbs):
+        delta = (v - circ2.instance[i]) % FR.p
+        circ2.c[i] = (circ2.c[i] - delta) % FR.p
+        circ2.instance[i] = v
+    proto2 = build_protocol(circ2, srs)
+    proto2.accumulator_indices = [[(0, j) for j in range(12)]]
+    t2 = EvmTranscriptPy()
+    sc2, pt2 = prove(circ2, proto2, srs, scheme="shplonk", transcript=t2)
+    snark2 = Snark(proto2, [list(circ2.instance)], sc2, pt2)
+    yul2 = gen_evm_verifier(proto2, srs, "shplonk")
+    with pytest.raises(errors.AssertionFailure):
+        evm_verify(yul2, snark2.instances, proof_to_bytes(snark2, "shplonk", fmt="evm"))
