@@ -87,9 +87,12 @@ def measure_cpu_baseline(log2n: int = 17):
     rng = np.random.default_rng(7)
     ks = [int.from_bytes(rng.bytes(32), "little") % FR.p for _ in range(n)]
     scs = np.concatenate([native._limbs64(k) for k in ks])
-    t0 = time.time()
-    out = native.msm_mt_dev(raw, scs)
-    dt = time.time() - t0
+    dt = None
+    for _ in range(3):  # best-of-3: host load skews single runs badly
+        t0 = time.time()
+        out = native.msm_mt_dev(raw, scs)
+        d = time.time() - t0
+        dt = d if dt is None or d < dt else dt
     k_total = sum(s * (i + 1) for i, s in enumerate(ks)) % FR.p
     assert native._dec_point(out) == py_ec.scalar_mul(py_ec.G1_GEN, k_total), (
         "CPU baseline self-check failed"

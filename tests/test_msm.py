@@ -3,6 +3,7 @@
 import random
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -75,22 +76,70 @@ def test_msm_sharded_matches_single():
 
 
 def test_msm_pallas_fold_interpret_matches():
-    """The Pallas fused bucket-fold path (msm/pallas_ops.fold_buckets_chunked
-    driven by msm_rns(pallas_fold=True)) is bit-exact vs the python oracle,
-    gated in interpret mode (the remote Mosaic service can't compile the
-    production shapes — PERFNOTES round-2; the math is target-independent)."""
-    from snark_verifier_tpu.msm.pippenger import msm_rns
+    """The production Pallas bucket fold (msm/pallas_ops.fold_buckets_grid,
+    default on TPU) is bit-exact vs the python oracle, gated in interpret
+    mode (the math is target-independent; on-chip bit-exactness is gated by
+    bench.py's generator-multiple self-check every run)."""
+    import numpy as np_
 
-    n = 512
-    pts, ks = _case(8, seed=33)
-    pts = [pts[i % 8] for i in range(n)]
+    from snark_verifier_tpu.ec.rns_g1 import G1R, from_rns, to_rns
+    from snark_verifier_tpu.msm.pallas_ops import fold_buckets_grid
+
+    base = py_ec.rand_points(4, seed=33)
+    rng = np_.random.default_rng(34)
+    NB, cap = 6, 44
+    pick = rng.integers(0, 5, size=(NB, cap))  # 4 = empty slot
+    g_rows = np_.asarray(to_rns(from_affine_int(base))).reshape(4, -1)
+    inf_row = np_.asarray(G1R.infinity()).reshape(-1)
+    rows = np_.concatenate([g_rows, inf_row[None]], 0)
+    mat = jnp.asarray(rows[pick].astype(np_.uint16))
+    out = fold_buckets_grid(mat, jnp.asarray(inf_row), wb=16, layers=3,
+                            interpret=True)
+    for i in range(NB):
+        want = None
+        for j in range(cap):
+            if pick[i, j] < 4:
+                want = py_ec.add(want, base[pick[i, j]])
+        got = to_affine_int(from_rns(out[i].reshape(3, 35)))
+        assert got == want
+
+
+def test_msm_host_slot_indices_match_device():
+    """The C++ host slot assignment (csrc bn254_slot_indices — the
+    production prep for the Pallas path) is bit-identical to the device
+    _slot_indices module."""
+    import numpy as np_
+
+    from snark_verifier_tpu.msm.pippenger import (
+        _slot_indices,
+        default_capacity,
+        extract_digits,
+        top_capacity,
+        top_range,
+    )
+    from snark_verifier_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native core unavailable")
     import random
 
-    rng = random.Random(34)
-    ks = [rng.randrange(1 << 254) for _ in range(n)]
-    out, ovf = msm_rns(
-        from_affine_int(pts), scalars_from_int(ks), capacity=60,
-        pallas_fold=True, interpret=True,
-    )
-    assert not bool(ovf)
-    assert to_affine_int(out) == py_ec.msm(pts, ks)
+    from snark_verifier_tpu.ff.spec import FR, int_to_limbs
+
+    rng = random.Random(5)
+    n, c = 1024, 8
+    ks = [rng.randrange(FR.p) for _ in range(n)]
+    sc16 = np_.stack([int_to_limbs(k) for k in ks])
+    cap = default_capacity(n, 1 << c)
+    trange, tcap = top_range(c), max(cap, top_capacity(n, c))
+    sc = sc16.astype(np_.uint64)
+    packed = (sc[:, 0::4] | (sc[:, 1::4] << np_.uint64(16))
+              | (sc[:, 2::4] << np_.uint64(32)) | (sc[:, 3::4] << np_.uint64(48)))
+    im, it, ovf = native.slot_indices(packed, c, cap, trange, tcap)
+    digits = extract_digits(jnp.asarray(sc16), c)
+    idx_dev, ovf_dev = _slot_indices(digits[:-1], 1 << c, cap)
+    top_dev, tovf_dev = _slot_indices(digits[-1:], trange, tcap)
+    assert np_.array_equal(np_.asarray(idx_dev), im)
+    assert np_.array_equal(np_.asarray(top_dev[0]), it)
+    assert ovf == bool(ovf_dev | tovf_dev)
