@@ -16,6 +16,12 @@ Differences from the reference, by design:
 An accumulator is (xi: [k challenges], u: final base); `decide` recomputes
 h(X) = Π_i (1 + xi_{k-1-i} X^{2^i}) coefficient-wise and checks commit(G, h)
 == U.
+
+Note on `create_proof`'s structure: the prover's step order (blinding
+commit, xi squeeze, per-round L/R commitments, halving folds) follows
+ipa.rs:40-123 closely BY NECESSITY — the Fiat-Shamir transcript format
+fixes what is absorbed/squeezed when, so any interoperable prover has this
+shape.  It is host-side support code, not part of the TPU compute path.
 """
 
 from __future__ import annotations
