@@ -29,12 +29,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache: EC/pairing kernels are compile-heavy; reuse across
-# test runs.  NOTE: a separate directory from the TPU runs' .jax_cache — that
-# one accumulates CPU AOT entries compiled on the remote axon host whose CPU
-# features differ (loading them risks SIGILL, observed as suite crashes).
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache on XLA:CPU: the round-2/3 "random" native
+# crashes were finally root-caused to a segfault INSIDE
+# jax compilation_cache.put_executable_and_time while serializing large
+# CPU executables (observed stack: test_msm's big MSM module, rc=SIGSEGV
+# at compiler.py _cache_write).  Cold compiles are slower but reliable;
+# the per-module subprocess isolation below contains any remaining
+# flakiness.
 
 _ISOLATION_ENV = "SNARK_TPU_TEST_CHILD"
 
