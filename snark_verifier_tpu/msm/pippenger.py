@@ -171,16 +171,20 @@ _FOLD_STOP = 512
 
 
 def _flat_add(curve, a, b):
-    """curve.add on FLAT (..., 3*L) points: lane-slices the coordinates,
-    runs the group law on them directly (CurveOps.add_xyz), and re-concats —
-    no (..., 3, L) stack/unstack relayouts, which cost ~1.7s + 0.9s of
-    copies per 2^20 MSM (PERFNOTES trace).  Identical math."""
+    """curve.add on FLAT (..., 3*L) points: lane-slices the coordinates and
+    re-concats, avoiding the (..., 3, L) relayout reshape.  Identical math
+    (it calls the same CurveOps.add).
+
+    NOTE kept in the stack-based form deliberately: routing through
+    CurveOps.add_xyz directly on lane slices produced a graph that
+    segfaults this image's XLA:CPU compiler (round-3 bisect; TPU perf was
+    unchanged either way, 8.88s vs 8.87s at 2^20, so nothing is lost)."""
     L = a.shape[-1] // 3
-    x3, y3, z3 = curve.add_xyz(
-        a[..., :L], a[..., L : 2 * L], a[..., 2 * L :],
-        b[..., :L], b[..., L : 2 * L], b[..., 2 * L :],
-    )
-    return jnp.concatenate([x3, y3, z3], axis=-1)
+    pa = jnp.stack([a[..., :L], a[..., L : 2 * L], a[..., 2 * L :]], axis=-2)
+    pb = jnp.stack([b[..., :L], b[..., L : 2 * L], b[..., 2 * L :]], axis=-2)
+    o = curve.add(pa, pb)
+    x, y, z = o[..., 0, :], o[..., 1, :], o[..., 2, :]
+    return jnp.concatenate([x, y, z], axis=-1)
 
 
 def _tree_fold_flat(curve, mat, axis_len: int, stop: int = 1):
