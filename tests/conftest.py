@@ -29,13 +29,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NO persistent compile cache on XLA:CPU: the round-2/3 "random" native
-# crashes were finally root-caused to a segfault INSIDE
-# jax compilation_cache.put_executable_and_time while serializing large
-# CPU executables (observed stack: test_msm's big MSM module, rc=SIGSEGV
-# at compiler.py _cache_write).  Cold compiles are slower but reliable;
-# the per-module subprocess isolation below contains any remaining
-# flakiness.
+# NO persistent compile cache on XLA:CPU: one of the round-2/3 "random"
+# native crashes was a segfault INSIDE jax
+# compilation_cache.put_executable_and_time while serializing large CPU
+# executables (observed stack: test_msm's big MSM module, rc=SIGSEGV at
+# compiler.py _cache_write).  Cold compiles are slower but reliable; the
+# per-module subprocess isolation below contains any remaining flakiness.
+#
+# Known residual flake on some hosts: test_ipa can die inside
+# backend_compile_and_load (XLA:CPU native codegen) while compiling the
+# Poseidon permute jit — reproduced with caching off AND with
+# --xla_cpu_parallel_codegen_split_count=1, i.e. a genuine compiler bug in
+# this image's jaxlib, not a cache or threading artifact on our side.  The
+# isolation runner retries the module once in a fresh process.
 
 _ISOLATION_ENV = "SNARK_TPU_TEST_CHILD"
 
