@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ec.curve import CurveOps
 from ..ec.rns_g1 import FQ_RNS
 from ..ff.spec import BN254_B
+from ..ff import rns_packed as rpk
 
 # constant tables the add/double path touches, in kernel-argument order
 _CONST_ATTRS = [
@@ -332,6 +333,159 @@ def _pallas_fold_halving(mat, layers: int, interpret: bool = False,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*consts, mat)
+
+
+# ---------------------------------------------------------------- packed fold
+#
+# The packed kernel runs the RC15 add on full (rows, 105) x|y|z lane-packed
+# rows (ff/rns_packed.py): 82% lane utilization vs 27% for per-coordinate
+# (rows, 35) slices, and 4 packed Montgomery muls per add instead of 12.
+# The fold data layout is ALREADY packed (the driver's flat 105-wide rows),
+# so only the kernel body changes.
+
+_PACKED_CONST_ATTRS = [
+    "MODS", "CS", "SIGMA_F", "P_B_F", "MINV_B_F", "SIGMA2_F", "M2_MOD_A_F",
+    "KP1024", "P2OFF", "RHS_AB", "RHS_BA",
+]
+
+
+def _packed_consts_host():
+    from ..ff import FQ
+
+    f = rpk.get_packed_field(FQ)
+    vecs = [np.asarray(getattr(f, a)) for a in _PACKED_CONST_ATTRS]
+    vecs.append(np.array([f.M2INV_R], np.uint32))
+    return vecs
+
+
+def _ext_zero_point_packed(self, sigma, rhs, nfolds: int = 3):
+    """Packed base extension for Mosaic: signed-int8 MXU with zero-point 128
+    correction (exact), mirroring _ext_zero_point above."""
+    from ..ff.rns_field import _split_u8
+
+    lhs = _split_u8(sigma)
+    shape = lhs.shape
+    s = (lhs.astype(jnp.int32) - 128).astype(jnp.int8).reshape(-1, shape[-1])
+    t = (rhs.astype(jnp.int32) - 128).astype(jnp.int8)
+    st = jax.lax.dot_general(
+        s, t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    rows = jnp.sum(s.astype(jnp.int32), axis=1, keepdims=True)
+    cols = jnp.sum(t.astype(jnp.int32), axis=0, keepdims=True)
+    out = (st + 128 * rows + 128 * cols + 128 * 128 * s.shape[1]).astype(
+        jnp.uint32
+    ).reshape(shape[:-1] + (4 * rpk.NPK,))
+    N = rpk.NPK
+    s_ll = out[..., 0 * N : 1 * N]
+    s_lh = out[..., 1 * N : 2 * N]
+    s_hl = out[..., 2 * N : 3 * N]
+    s_hh = out[..., 3 * N : 4 * N]
+    tt = s_ll + ((s_lh + s_hl) << 8) + self.CS * s_hh
+    return self._fold(tt, nfolds)
+
+
+def _roll_pltpu(self, v, shift: int):
+    # pltpu.roll rejects negative shifts (roll by -s == +(N-s)) and Mosaic
+    # only rotates 32-bit lanes — widen 16-bit values around the rotate.
+    if v.dtype.itemsize < 4:
+        wide = pltpu.roll(v.astype(jnp.uint32), shift % v.shape[-1],
+                          axis=v.ndim - 1)
+        return wide.astype(v.dtype)
+    return pltpu.roll(v, shift % v.shape[-1], axis=v.ndim - 1)
+
+
+def _kernel_field_packed(const_refs):
+    """PackedRnsField clone whose tables live in kernel memory and whose
+    ext/roll/masks use Mosaic-safe forms."""
+    from ..ff import FQ
+
+    f2 = copy.copy(rpk.get_packed_field(FQ))
+    f2._ext = types.MethodType(_ext_zero_point_packed, f2)
+    f2._roll = types.MethodType(_roll_pltpu, f2)
+    vals = [r[:] for r in const_refs]
+    for attr, v in zip(_PACKED_CONST_ATTRS, vals):
+        if attr in ("RHS_AB", "RHS_BA"):
+            setattr(f2, attr, v)
+        else:
+            setattr(f2, attr, v.reshape(-1))
+    f2.M2INV_R = vals[len(_PACKED_CONST_ATTRS)].reshape(-1)[0]
+    # lane masks from 2D iota (Mosaic needs >=2D iota); broadcast over rows
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, rpk.NPK), 1)
+    f2.IS_A = (lane % rpk.SEG) < rpk.K
+    f2.IS_R = (lane % rpk.SEG) == 2 * rpk.K
+    f2.IS_X = lane < rpk.SEG
+    f2.IS_Y = (lane >= rpk.SEG) & (lane < 2 * rpk.SEG)
+    return f2
+
+
+def _packed_const_specs():
+    return [pl.BlockSpec(memory_space=pltpu.VMEM)
+            for _ in range(len(_PACKED_CONST_ATTRS) + 1)]
+
+
+def _halving_fold_kernel_2d_pk(wb: int, layers: int):
+    """`layers` halving layers on a 2D (wb, 105) block with the PACKED RC15
+    add — whole rows, no per-coordinate slicing."""
+
+    def kernel(*refs):
+        *const_refs, mat_ref, out_ref = refs
+        F = _kernel_field_packed(const_refs)
+        v = mat_ref[:]  # (wb, 105) u16
+        width = wb
+        for _ in range(layers):
+            half = width // 2
+            v = rpk.add_packed(F, v[:half], v[half : 2 * half])
+            width = half
+        out_ref[:] = v
+
+    return kernel
+
+
+def _pallas_fold_grid2d_pk(mat, wb: int, layers: int, interpret: bool = False):
+    """Packed twin of _pallas_fold_grid2d: (NB, w, 105) ->
+    (NB, (w/wb)*(wb>>layers), 105) with 2D blocks and the packed add."""
+    NB, w, FL = mat.shape
+    assert w % wb == 0 and FL == rpk.NPK
+    g = wb >> layers
+    consts = _packed_consts_host()
+    return pl.pallas_call(
+        _halving_fold_kernel_2d_pk(wb, layers),
+        out_shape=jax.ShapeDtypeStruct((NB, (w // wb) * g, FL), jnp.uint16),
+        grid=(NB, w // wb),
+        in_specs=_packed_const_specs()
+        + [pl.BlockSpec((None, wb, FL), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, g, FL), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*consts, mat)
+
+
+def fold_buckets_grid_pk(mat, identity_row, wb: int = 512, layers: int = 4,
+                         interpret: bool = False):
+    """Packed twin of fold_buckets_grid (same level walk, packed kernel)."""
+    NB, cap, FL = mat.shape
+    w = cap
+    while w > 1:
+        if w >= wb:
+            pad = (-w) % wb
+            if pad:
+                fill = jnp.broadcast_to(identity_row, (NB, pad, FL))
+                mat = jnp.concatenate([mat, fill], axis=1)
+                w += pad
+            mat = _pallas_fold_grid2d_pk(mat, wb, layers, interpret=interpret)
+            w = (w // wb) * (wb >> layers)
+        else:
+            lyr = min(layers, (w - 1).bit_length())
+            step = 1 << lyr
+            pad = (-w) % step
+            if pad:
+                fill = jnp.broadcast_to(identity_row, (NB, pad, FL))
+                mat = jnp.concatenate([mat, fill], axis=1)
+                w += pad
+            mat = _pallas_fold_grid2d_pk(mat, w, lyr, interpret=interpret)
+            w >>= lyr
+    return mat[:, 0]
 
 
 def _halving_fold_kernel_2d(wb: int, layers: int, L: int = 35):

@@ -220,17 +220,20 @@ def _fold_buckets_pallas(curve, points_ext, idx, interpret: bool = False):
     bucket sums.  The gather stays in XLA (its row-gather lowering beats
     per-row DMA); the fold levels run in VMEM with a constant (bb, wb, 105)
     block shape so the Mosaic program count stays O(1) regardless of
-    capacity (msm/pallas_ops.fold_buckets_grid)."""
-    from .pallas_ops import fold_buckets_grid
+    capacity.  Default kernel: the lane-PACKED RC15 add
+    (pallas_ops.fold_buckets_grid_pk, 105-lane rows at 82% utilization,
+    ~1.4x the per-coordinate kernel); MSM_PACKED_FOLD=0 reverts."""
+    from .pallas_ops import fold_buckets_grid, fold_buckets_grid_pk
 
+    packed = os.environ.get("MSM_PACKED_FOLD", "1") not in ("", "0")
     wb = int(os.environ.get("MSM_PALLAS_WB", "512"))
     layers = int(os.environ.get("MSM_PALLAS_LAYERS", "4"))
     nb, cap = idx.shape
     flat = points_ext.reshape(points_ext.shape[0], -1)  # (n+1, 105) u16
     mat = jnp.take(flat, idx, axis=0)  # (nb, cap, 105)
     identity_row = curve.infinity().reshape(-1)  # RNS-Montgomery (0:1:0)
-    out = fold_buckets_grid(mat, identity_row, wb=wb, layers=layers,
-                            interpret=interpret)
+    fold = fold_buckets_grid_pk if packed else fold_buckets_grid
+    out = fold(mat, identity_row, wb=wb, layers=layers, interpret=interpret)
     return out.reshape((nb,) + points_ext.shape[1:])
 
 
