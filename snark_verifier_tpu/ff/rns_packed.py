@@ -82,6 +82,12 @@ class PackedRnsField:
     def _roll(v, shift: int):
         return jnp.roll(v, shift, axis=-1)
 
+    #: storage dtype of op RESULTS.  uint16 halves HBM bytes at rest (the
+    #: XLA path); Pallas kernel clones set uint32 so chained ops skip the
+    #: u16<->u32 convert passes between every op (values are <2^16 either
+    #: way — this is storage, not math).
+    store = _U16
+
     def __init__(self, base: RnsField):
         self.base = base
         self.fspec: FieldSpec = base.fspec
@@ -115,6 +121,12 @@ class PackedRnsField:
         self.IS_R = (lane % SEG) == 2 * K
         self.IS_X = lane < SEG
         self.IS_Y = (lane >= SEG) & (lane < 2 * SEG)
+        # beta spread: r lane (34) of each segment -> that segment's A lanes,
+        # as one int8 matmul (beta < 17 fits int8 exactly)
+        spread = np.zeros((NPK, NPK), np.int8)
+        for s in range(3):
+            spread[s * SEG + 2 * K, s * SEG : s * SEG + K] = 1
+        self.SPREAD = spread
         self.one = np.tile(np.asarray(base.one), 3)  # packed (1|1|1)
         # infinity row (0 : 1 : 0) packed — what the MSM fold pads with
         inf = np.zeros((NPK,), np.uint16)
@@ -156,16 +168,16 @@ class PackedRnsField:
 
     def add(self, a, b):
         t = a.astype(_U32) + b.astype(_U32)
-        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(_U16)
+        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(self.store)
 
     def sub(self, a, b):
         t = a.astype(_U32) + self.KP1024 + (self.MODS - b.astype(_U32))
         t = jnp.where(t >= self.MODS, t - self.MODS, t)
-        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(_U16)
+        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(self.store)
 
     def neg(self, a):
         t = self.KP1024 + (self.MODS - a.astype(_U32))
-        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(_U16)
+        return jnp.where(t >= self.MODS, t - self.MODS, t).astype(self.store)
 
     def mul_small(self, a, k: int):
         acc = a
@@ -210,19 +222,19 @@ class PackedRnsField:
         e = self._ext(sigma2, self.RHS_BA, 2)  # valid: A lanes + r lane
         beta = ((e + np.uint32(MR) - r_br) & _MASK16) * self.M2INV_R & _MASK16
         beta = jnp.where(self.IS_R, beta, 0)  # exact integer < 17 at r lanes
-        # broadcast each segment's r-lane beta to its A lanes [0, 17):
-        # rotate to lane 16, then OR-doubling down to lane 0.  Spill-over
-        # lands only in B|r lanes (overwritten by the final mask).
-        b = self._roll(beta, -(K + 1))  # r lane 34 -> lane 16
-        b = b | self._roll(b, -1)
-        b = b | self._roll(b, -2)
-        b = b | self._roll(b, -4)
-        b = b | self._roll(b, -8)
-        b = b | self._roll(b, -1)  # lanes {16..1} -> {16..0}
+        # broadcast each segment's r-lane beta to its A lanes [0, 17) with
+        # one int8 MXU matmul (the 6-rotate OR-doubling alternative costs
+        # ~6 lane rotates per reduce — measured slower)
+        b8 = beta.astype(jnp.int8)
+        shape = b8.shape
+        b = jax.lax.dot_general(
+            b8.reshape(-1, NPK), self.SPREAD, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(_U32).reshape(shape)
         corr = self._fold(b * self.M2_MOD_A_F, 2)
         t2 = e + (self.MODS - corr)
         r_a = jnp.where(t2 >= self.MODS, t2 - self.MODS, t2)
-        return jnp.where(self.IS_A, r_a, r_br).astype(_U16)
+        return jnp.where(self.IS_A, r_a, r_br).astype(self.store)
 
     # --------------------------------------------------------- conversions
 

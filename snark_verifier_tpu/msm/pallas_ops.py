@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import copy
 import functools
+import os
 import types
 
 import jax
@@ -345,36 +346,53 @@ def _pallas_fold_halving(mat, layers: int, interpret: bool = False,
 
 _PACKED_CONST_ATTRS = [
     "MODS", "CS", "SIGMA_F", "P_B_F", "MINV_B_F", "SIGMA2_F", "M2_MOD_A_F",
-    "KP1024", "P2OFF", "RHS_AB", "RHS_BA",
+    "KP1024", "P2OFF", "RHS_AB", "RHS_BA", "SPREAD",
 ]
+_PACKED_2D_ATTRS = ("RHS_AB", "RHS_BA", "SPREAD")
 
 
 def _packed_consts_host():
     from ..ff import FQ
 
     f = rpk.get_packed_field(FQ)
-    vecs = [np.asarray(getattr(f, a)) for a in _PACKED_CONST_ATTRS]
+    vecs = []
+    for a in _PACKED_CONST_ATTRS:
+        v = np.asarray(getattr(f, a))
+        if a in ("RHS_AB", "RHS_BA"):
+            # pre-shift the zero-point adjusted rhs to int8 and fold its
+            # column sums into one additive constant: Mosaic does NOT hoist
+            # the per-call (210,420) adjust+colsum out of the kernel loop
+            # (measured: the ext path was 37% of the fold kernel)
+            t8 = (v.astype(np.int32) - 128).astype(np.int8)
+            coloff = (
+                128 * t8.astype(np.int32).sum(axis=0, keepdims=True)
+                + 128 * 128 * v.shape[0]
+            ).astype(np.int32)
+            vecs.append(t8)
+            vecs.append(coloff)
+        else:
+            vecs.append(v)
     vecs.append(np.array([f.M2INV_R], np.uint32))
     return vecs
 
 
-def _ext_zero_point_packed(self, sigma, rhs, nfolds: int = 3):
+def _ext_zero_point_packed(self, sigma, rhs_pair, nfolds: int = 3):
     """Packed base extension for Mosaic: signed-int8 MXU with zero-point 128
-    correction (exact), mirroring _ext_zero_point above."""
+    correction (exact).  rhs_pair = (pre-shifted int8 rhs, additive column
+    offset int32 (1, 420)) — both host-precomputed (see _packed_consts_host)."""
     from ..ff.rns_field import _split_u8
 
+    t, coloff = rhs_pair
     lhs = _split_u8(sigma)
     shape = lhs.shape
     s = (lhs.astype(jnp.int32) - 128).astype(jnp.int8).reshape(-1, shape[-1])
-    t = (rhs.astype(jnp.int32) - 128).astype(jnp.int8)
     st = jax.lax.dot_general(
         s, t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     rows = jnp.sum(s.astype(jnp.int32), axis=1, keepdims=True)
-    cols = jnp.sum(t.astype(jnp.int32), axis=0, keepdims=True)
-    out = (st + 128 * rows + 128 * cols + 128 * 128 * s.shape[1]).astype(
-        jnp.uint32
-    ).reshape(shape[:-1] + (4 * rpk.NPK,))
+    out = (st + 128 * rows + coloff).astype(jnp.uint32).reshape(
+        shape[:-1] + (4 * rpk.NPK,)
+    )
     N = rpk.NPK
     s_ll = out[..., 0 * N : 1 * N]
     s_lh = out[..., 1 * N : 2 * N]
@@ -385,8 +403,14 @@ def _ext_zero_point_packed(self, sigma, rhs, nfolds: int = 3):
 
 
 def _roll_pltpu(self, v, shift: int):
-    # pltpu.roll rejects negative shifts (roll by -s == +(N-s)) and Mosaic
-    # only rotates 32-bit lanes — widen 16-bit values around the rotate.
+    """Static lane roll as slice+concat: Mosaic lowers this far better than
+    tpu.dynamic_rotate (measured 0.089s vs 0.130s per window fold — rotates
+    were 45% of the packed kernel).  MSM_ROLL_ROTATE=1 reverts to
+    pltpu.roll (which only rotates 32-bit lanes, hence the widening)."""
+    if os.environ.get("MSM_ROLL_ROTATE", "0") in ("", "0"):
+        n = v.shape[-1]
+        s = shift % n
+        return jnp.concatenate([v[..., n - s :], v[..., : n - s]], axis=-1)
     if v.dtype.itemsize < 4:
         wide = pltpu.roll(v.astype(jnp.uint32), shift % v.shape[-1],
                           axis=v.ndim - 1)
@@ -402,13 +426,27 @@ def _kernel_field_packed(const_refs):
     f2 = copy.copy(rpk.get_packed_field(FQ))
     f2._ext = types.MethodType(_ext_zero_point_packed, f2)
     f2._roll = types.MethodType(_roll_pltpu, f2)
+    # NOTE: store stays uint16 — measured: u32-resident chaining is 5% SLOWER
+    # (Mosaic fuses the u16<->u32 converts; wider residents cost VMEM traffic)
+    probe = os.environ.get("MSM_KERNEL_PROBE", "")
+    if probe == "noext":
+        f2._ext = types.MethodType(
+            lambda self, sigma, rhs, nfolds=3: self._fold(sigma, 2), f2)
+    elif probe == "noroll":
+        f2._roll = types.MethodType(lambda self, v, s: v, f2)
+    elif probe == "nomul":
+        f2.mul_lazy = types.MethodType(
+            lambda self, a, b: a.astype(jnp.uint32), f2)
     vals = [r[:] for r in const_refs]
-    for attr, v in zip(_PACKED_CONST_ATTRS, vals):
+    it = iter(vals)
+    for attr in _PACKED_CONST_ATTRS:
         if attr in ("RHS_AB", "RHS_BA"):
-            setattr(f2, attr, v)
+            setattr(f2, attr, (next(it), next(it)))  # (int8 rhs, col offset)
+        elif attr in _PACKED_2D_ATTRS:
+            setattr(f2, attr, next(it))
         else:
-            setattr(f2, attr, v.reshape(-1))
-    f2.M2INV_R = vals[len(_PACKED_CONST_ATTRS)].reshape(-1)[0]
+            setattr(f2, attr, next(it).reshape(-1))
+    f2.M2INV_R = next(it).reshape(-1)[0]
     # lane masks from 2D iota (Mosaic needs >=2D iota); broadcast over rows
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, rpk.NPK), 1)
     f2.IS_A = (lane % rpk.SEG) < rpk.K
@@ -419,8 +457,9 @@ def _kernel_field_packed(const_refs):
 
 
 def _packed_const_specs():
+    # +1 for M2INV_R, +2 for the (rhs, coloff) pair expansion of each RHS
     return [pl.BlockSpec(memory_space=pltpu.VMEM)
-            for _ in range(len(_PACKED_CONST_ATTRS) + 1)]
+            for _ in range(len(_PACKED_CONST_ATTRS) + 3)]
 
 
 def _halving_fold_kernel_2d_pk(wb: int, layers: int):
@@ -430,13 +469,13 @@ def _halving_fold_kernel_2d_pk(wb: int, layers: int):
     def kernel(*refs):
         *const_refs, mat_ref, out_ref = refs
         F = _kernel_field_packed(const_refs)
-        v = mat_ref[:]  # (wb, 105) u16
+        v = mat_ref[:]  # (wb, 105) u16 in HBM; u32-resident across layers
         width = wb
         for _ in range(layers):
             half = width // 2
             v = rpk.add_packed(F, v[:half], v[half : 2 * half])
             width = half
-        out_ref[:] = v
+        out_ref[:] = v.astype(jnp.uint16)
 
     return kernel
 
