@@ -26,6 +26,7 @@ design here is TPU-native and independent.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,24 @@ NCOLS = 2 * NLIMBS + 1  # product column buffer width
 
 def _u(x: int):
     return _U32(x)
+
+
+# Optional full unrolling of the 16-step limb scans for ops at or below this
+# many field elements (FF_UNROLL_MAX=N).  Measured on TPU v5e (round 4): at
+# verify-path batch shapes (~3k elements) unrolling is runtime-neutral —
+# per-op cost is ~150us either way because BOTH forms are bound by ~2-3us of
+# fixed per-kernel/per-loop-iteration overhead, not vector work — while the
+# succinct-verify compile blows up 3x.  Default OFF; the small-shape fix is
+# fused Pallas kernels (hash/pallas_poseidon.py), not unrolling.
+_UNROLL_MAX = int(os.environ.get("FF_UNROLL_MAX", "0"))
+
+
+def _roll(bshape) -> int:
+    """lax.scan unroll factor for an op over batch shape `bshape`."""
+    n = 1
+    for d in bshape:
+        n *= d
+    return NLIMBS if n <= _UNROLL_MAX else 1
 
 
 class LimbField:
@@ -70,7 +89,9 @@ class LimbField:
             return v >> W, v & _u(MASK)
 
         c0 = jnp.zeros(t.shape[:-1], _U32)
-        cout, outs = jax.lax.scan(body, c0, jnp.moveaxis(t, -1, 0))
+        cout, outs = jax.lax.scan(
+            body, c0, jnp.moveaxis(t, -1, 0), unroll=_roll(t.shape[:-1])
+        )
         return jnp.moveaxis(outs, 0, -1), cout
 
     @staticmethod
@@ -85,7 +106,10 @@ class LimbField:
 
         b0 = jnp.zeros(a.shape[:-1], _U32)
         borrow, outs = jax.lax.scan(
-            body, b0, (jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0))
+            body,
+            b0,
+            (jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)),
+            unroll=_roll(a.shape[:-1]),
         )
         return jnp.moveaxis(outs, 0, -1), borrow
 
@@ -148,7 +172,9 @@ class LimbField:
             return t, None
 
         t0 = jnp.zeros(bshape + (NLIMBS + 2,), _U32)
-        t, _ = jax.lax.scan(body, t0, jnp.moveaxis(a, -1, 0))
+        t, _ = jax.lax.scan(
+            body, t0, jnp.moveaxis(a, -1, 0), unroll=_roll(bshape)
+        )
         s, _ = self._carry16(t[..., :NLIMBS])  # value <= 2p, fits 16 limbs
         return s
 

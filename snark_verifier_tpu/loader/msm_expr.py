@@ -21,6 +21,21 @@ from ..ff.jnp_field import u16_limbs_to_digits4
 FR = FR_FIELD
 
 
+def _use_rns() -> bool:
+    """RNS/MXU coordinate backend for MsmExpr evaluation: default ON on real
+    TPU backends, OFF on CPU (where while-loops compile to native loops and
+    the positional backend is both fast and much cheaper to compile).
+    MSM_EXPR_RNS=0/1 overrides."""
+    import os
+
+    import jax
+
+    env = os.environ.get("MSM_EXPR_RNS")
+    if env is not None:
+        return env not in ("", "0")
+    return jax.default_backend() != "cpu"
+
+
 class MsmExpr:
     def __init__(self, constant=None, pairs: Optional[List[Tuple]] = None):
         self.const = constant  # Fr scalar (coefficient of the generator g)
@@ -110,6 +125,20 @@ class MsmExpr:
             pts = jnp.stack(jnp.broadcast_arrays(*scaled_pts), axis=-3)  # (...,n,3,16)
             scs = jnp.stack(jnp.broadcast_arrays(*scaled_scalars), axis=-2)
             digits = u16_limbs_to_digits4(FR.from_mont(scs))  # (..., n, 64)
+            if _use_rns():
+                # Run the windowed MSM on the RNS/MXU backend: at verify-path
+                # shapes the positional CIOS backend is bound by per-kernel /
+                # while-iteration dispatch (~150us per field mul at (B,16)),
+                # while the RNS add is a handful of MXU matmuls + elementwise
+                # ops — measured round 4: the batched succinct verify's lhs
+                # MSM dominates the whole phase under CIOS (25s of 27.7s at
+                # B=1024) and collapses under RNS.
+                from ..ec.rns_g1 import G1R, from_rns, to_rns
+
+                acc_r = G1R.msm_windowed(to_rns(pts), digits, c=4)
+                for p in plain_pts:
+                    acc_r = G1R.add(acc_r, to_rns(p))
+                return from_rns(acc_r)
             parts.append(G1.msm_windowed(pts, digits, c=4))
         for p in plain_pts:
             parts.append(p)

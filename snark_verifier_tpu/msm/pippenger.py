@@ -419,6 +419,24 @@ def msm_rns(points, scalars_u16, capacity: Optional[int] = None, c: int = C_BITS
 # times), and the combine (weighted bucket sums + Horner).  Dispatch cost is
 # ~W tunnel round-trips, noise next to the multi-second fold work.
 
+def _pack24(idx_np):
+    """Host: (..., ) int32 point ids (< 2^24) -> (..., 3) uint8."""
+    a = idx_np.astype(np.uint32)
+    return np.stack(
+        [(a & 0xFF), (a >> 8) & 0xFF, (a >> 16) & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
+def _unpack24(idx_u8):
+    """Device: (..., 3) uint8 -> (...,) int32 point ids."""
+    a = idx_u8.astype(jnp.int32)
+    return a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16)
+
+
+def _maybe_unpack(idx):
+    return _unpack24(idx) if idx.dtype == jnp.uint8 else idx
+
+
 _PALLAS_JITS: dict = {}
 
 
@@ -440,7 +458,14 @@ def _msm_rns_pallas_host(points, scalars_u16, capacity: int, c: int,
     trange = top_range(c)
     tcap = max(capacity, top_capacity(n, c))
 
-    if native.available() and not interpret:
+    # Slot assignment on DEVICE by default (round 4): the host C++ prep's
+    # ~150MB of slot-index uploads ran at ~50MB/s through the axon tunnel
+    # (3.2s against a 2.1s fold).  The device prep module (one-hot-ranking
+    # scan + one flat scatter) runs in ~0.4s from scalars already on device
+    # and compiles in ~3min as its own small module — measured 2.89s vs 5.6s
+    # end-to-end at 2^20.  MSM_DEVICE_PREP=0 reverts to host C++ prep.
+    device_prep = os.environ.get("MSM_DEVICE_PREP", "1") not in ("", "0")
+    if native.available() and not interpret and not device_prep:
         # Host C++ slot assignment: same output as the device prep module
         # but ~100ms of counting instead of a ~20-minute XLA compile for a
         # 0.7s run (PERFNOTES round 3).  Only the (W, nb, cap) int32 index
@@ -460,10 +485,14 @@ def _msm_rns_pallas_host(points, scalars_u16, capacity: int, c: int,
             lambda p: jnp.concatenate([to_rns(p), G1R.infinity((1,))], 0),
         )
         points_ext = pext(points)
-        # per-window async puts: the 31 x ~5MB index uploads overlap with the
-        # fold kernels of earlier windows instead of serializing up front
-        idx_all = [jax.device_put(idx_main[w]) for w in range(idx_main.shape[0])]
-        top_idx = jax.device_put(idx_top_np)
+        # Host->device index transfer is the MSM's non-compute bottleneck
+        # (measured round 4: ~150MB of int32 slot matrices at ~50MB/s through
+        # the axon tunnel = 3.2s against a 2.1s fold).  Point ids are < 2^24,
+        # so ship 3 bytes per entry and reassemble on device; per-window async
+        # puts overlap the uploads with earlier windows' fold kernels.
+        idx_all = [jax.device_put(_pack24(idx_main[w]))
+                   for w in range(idx_main.shape[0])]
+        top_idx = jax.device_put(_pack24(idx_top_np))
         overflow = jnp.asarray(ovf_host)
     else:
         def prep(points, scalars_u16):
@@ -479,13 +508,17 @@ def _msm_rns_pallas_host(points, scalars_u16, capacity: int, c: int,
 
     fold_w = _pjit(
         ("fold", n, capacity, c, interpret),
-        lambda pe, idx: _fold_buckets_pallas(G1R, pe, idx, interpret=interpret),
+        lambda pe, idx: _fold_buckets_pallas(
+            G1R, pe, _maybe_unpack(idx), interpret=interpret
+        ),
     )
     n_main = len(idx_all) if isinstance(idx_all, list) else idx_all.shape[0]
     buckets = [fold_w(points_ext, idx_all[w]) for w in range(n_main)]
     top_b = _pjit(
         ("fold", n, tcap, c, interpret, "top"),
-        lambda pe, idx: _fold_buckets_pallas(G1R, pe, idx, interpret=interpret),
+        lambda pe, idx: _fold_buckets_pallas(
+            G1R, pe, _maybe_unpack(idx), interpret=interpret
+        ),
     )(points_ext, top_idx)
 
     def combine(buckets, top_b):

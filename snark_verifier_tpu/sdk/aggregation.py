@@ -34,22 +34,42 @@ SCHEMES = {"shplonk": Bdfg21, "gwc": Gwc19}
 
 
 def _stack_streams(snarks: Sequence[Snark]):
-    pairs = [s.device_streams() for s in snarks]
-    sc = jnp.stack([p[0] for p in pairs], 0)  # (B, n, 16)
-    pts = jnp.stack([p[1] for p in pairs], 0)  # (B, m, 2, 16)
+    """Stack proof streams host-side (numpy), ONE device put per stream."""
+    import numpy as np
+
+    pairs = [s.host_streams() for s in snarks]
+    sc = jnp.asarray(np.stack([p[0] for p in pairs], 0))  # (B, n, 16)
+    pts = jnp.asarray(np.stack([p[1] for p in pairs], 0))  # (B, m, 2, 16)
     return sc, pts
 
 
 def _stack_instances(snarks: Sequence[Snark]):
-    """-> list (per column) of lists of (B,16) device scalars."""
-    out = []
-    for col_idx, ncol in enumerate(snarks[0].protocol.num_instance):
-        col = []
-        for v_idx in range(ncol):
-            col.append(
-                FR_FIELD.from_int([s.instances[col_idx][v_idx] for s in snarks])
-            )
-        out.append(col)
+    """-> list (per column) of lists of (B,16) device scalars.
+
+    Built as one host numpy block + one device put: per-value device
+    dispatches through a slow device tunnel dominate batch-verify wall time
+    otherwise."""
+    import numpy as np
+
+    from ..ff.spec import FR as _FR, int_to_limbs
+
+    p, R = _FR.p, 1 << 256
+    num_instance = snarks[0].protocol.num_instance
+    total = sum(num_instance)
+    flat = np.zeros((len(snarks), total, 16), np.uint32)
+    for b, s in enumerate(snarks):
+        k = 0
+        for col_idx, ncol in enumerate(num_instance):
+            for v_idx in range(ncol):
+                flat[b, k] = int_to_limbs(
+                    (s.instances[col_idx][v_idx] % p) * R % p
+                )
+                k += 1
+    flat_dev = jnp.asarray(flat)
+    out, k = [], 0
+    for ncol in num_instance:
+        out.append([flat_dev[:, k + i, :] for i in range(ncol)])
+        k += ncol
     return out
 
 

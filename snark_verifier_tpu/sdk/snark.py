@@ -106,27 +106,44 @@ class Snark:
                     )
         return self
 
-    def device_streams(self):
-        """-> (scalars (n,16), points (m,2,16)) device arrays.  Validates the
-        proof streams first (on-curve / reduced-form checks)."""
-        import jax.numpy as jnp
+    def host_streams(self):
+        """-> (scalars (n,16), points (m,2,16)) NUMPY Montgomery-limb arrays.
+        Validates the proof streams first (on-curve / reduced-form checks).
+        Memoized: batch verification tiles fixture snarks, and (critically)
+        the conversion must not issue per-element device transfers — one
+        Snark's streams become one numpy block, and batch stacking does a
+        single device put (measured round 4: per-scalar jnp dispatch through
+        the axon tunnel cost ~80s per 1024-proof batch)."""
+        cached = getattr(self, "_host_streams", None)
+        if cached is not None:
+            return cached
+        import numpy as np
 
-        from ..ec import from_affine_int
-        from ..ff import FR_FIELD
+        from ..ec.g1 import from_affine_int_np
+        from ..ff.spec import int_to_limbs
 
         self.validate()
 
+        p, R = FR.p, 1 << 256
         sc = (
-            jnp.stack([FR_FIELD.from_int(s) for s in self.scalars], 0)
+            np.stack([int_to_limbs((s % p) * R % p) for s in self.scalars])
             if self.scalars
-            else jnp.zeros((0, 16), "uint32")
+            else np.zeros((0, 16), np.uint32)
         )
         pts = (
-            from_affine_int(self.points)[:, :2, :]
+            from_affine_int_np(self.points)[:, :2, :]
             if self.points
-            else jnp.zeros((0, 2, 16), "uint32")
+            else np.zeros((0, 2, 16), np.uint32)
         )
+        self._host_streams = (sc, pts)
         return sc, pts
+
+    def device_streams(self):
+        """-> (scalars (n,16), points (m,2,16)) device arrays (validated)."""
+        import jax.numpy as jnp
+
+        sc, pts = self.host_streams()
+        return jnp.asarray(sc), jnp.asarray(pts)
 
 
 def proof_shape(protocol: PlonkProtocol, scheme_name: str) -> Tuple[int, int]:
