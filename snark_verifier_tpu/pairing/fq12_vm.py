@@ -119,10 +119,28 @@ class TapeBuilder:
         )
 
 
-def run_tape(regs, tape):
-    """regs: (..., NREG, 2, 3, 2, 16); returns updated registers."""
+def run_tape(regs, tape, rt=None):
+    """regs: (..., NREG, 2, 3, 2, W); returns updated registers.
+
+    rt: an RnsTower (tower/rns_tower.py) to run the tape on the RNS/MXU
+    backend — regs must then be RNS-form (W=35); the positional Montgomery
+    coeff constants are converted once before the scan."""
     src1, src2, dst, conj, coeffs = tape
     nbatch = regs.ndim - 5
+
+    if rt is not None:
+        tape = (src1, src2, dst, conj, rt.from_limbs(coeffs))
+
+        def body_rns(R, step):
+            s1, s2, d, cj, co = step
+            a = jnp.take(R, s1, axis=nbatch)
+            b = jnp.take(R, s2, axis=nbatch)
+            out = rt.transform_mul(a, cj, co, b)
+            R = jax.lax.dynamic_update_index_in_dim(R, out, d, axis=nbatch)
+            return R, None
+
+        regs, _ = jax.lax.scan(body_rns, regs, tape)
+        return regs
 
     def body(R, step):
         s1, s2, d, cj, co = step

@@ -16,6 +16,7 @@ direct (p^12-1)/r pow in tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -106,9 +107,33 @@ def _mul_lines(f, coeffs, xs, ys):
     return f
 
 
-def miller_loop(xs, ys, dbl, addc, has_add, finals):
-    """Multi-Miller loop.  Leading batch dims on xs/ys broadcast into f."""
+def miller_loop(xs, ys, dbl, addc, has_add, finals, rns: bool = False):
+    """Multi-Miller loop.  Leading batch dims on xs/ys broadcast into f.
+
+    rns=True runs the whole loop on the RNS/MXU tower (tower/rns_tower.py):
+    the positional Montgomery inputs (points + precomputed line coeffs) are
+    converted at the graph edge by one batched base-extension matmul."""
     batch_shape = xs.shape[:-2]
+    if rns:
+        rt = _rt()
+        xs, ys = rt.from_limbs(xs), rt.from_limbs(ys)
+        dbl, addc = rt.from_limbs(dbl), rt.from_limbs(addc)
+        finals = rt.from_limbs(finals)
+        one = jnp.asarray(rt.one12)
+        f0 = jnp.broadcast_to(one, batch_shape + one.shape)
+
+        def body(f, step):
+            dc, ac, ha = step
+            f = rt.square12(f)
+            f = _mul_lines_rns(rt, f, dc, xs, ys)
+            fa = _mul_lines_rns(rt, f, ac, xs, ys)
+            f = rt.select12(jnp.broadcast_to(ha, batch_shape), fa, f)
+            return f, None
+
+        f, _ = jax.lax.scan(body, f0, (dbl, addc, has_add))
+        f = _mul_lines_rns(rt, f, finals[0], xs, ys)
+        f = _mul_lines_rns(rt, f, finals[1], xs, ys)
+        return f
     f0 = jnp.broadcast_to(FQ12.one, batch_shape + FQ12.one.shape)
 
     def body(f, step):
@@ -122,6 +147,32 @@ def miller_loop(xs, ys, dbl, addc, has_add, finals):
     f, _ = jax.lax.scan(body, f0, (dbl, addc, has_add))
     f = _mul_lines(f, finals[0], xs, ys)
     f = _mul_lines(f, finals[1], xs, ys)
+    return f
+
+
+def _pairing_rns_default() -> bool:
+    """RNS/MXU tower for the pairing: default ON on real TPU backends
+    (PAIRING_RNS=0/1 overrides)."""
+    env = os.environ.get("PAIRING_RNS")
+    if env is not None:
+        return env not in ("", "0")
+    return jax.default_backend() != "cpu"
+
+
+def _rt():
+    from ..tower.rns_tower import get_rns_tower
+
+    return get_rns_tower()
+
+
+def _mul_lines_rns(rt, f, coeffs, xs, ys):
+    """RNS variant of _mul_lines (coeffs (..., npairs, 3, 2, 35))."""
+    npairs = coeffs.shape[-4]
+    for k in range(npairs):
+        c = coeffs[..., k, :, :, :]
+        c0 = rt.smul2(c[..., 0, :, :], ys[..., k, :])
+        c3 = rt.smul2(c[..., 1, :, :], xs[..., k, :])
+        f = rt.mul_by_034(f, c0, c3, c[..., 2, :, :])
     return f
 
 
@@ -164,12 +215,27 @@ def f12_frobenius(a, power: int):
     return FQ12.make(d0, d1)
 
 
-def final_exponentiation(f):
+def final_exponentiation(f, rns: bool = False):
     """(p^12-1)/r: easy-part inversion + the whole remaining chain executed as
     an instruction tape under one lax.scan (pairing/fq12_vm.py) — keeps the
     XLA graph to a handful of op instances.  Validated against the oracle's
-    direct pow in tests."""
+    direct pow in tests.
+
+    rns=True: the tape runs on the RNS tower; the one inversion of the easy
+    part round-trips through the positional core (a single Fq12 inv per
+    batch is noise next to the ~250-step tape)."""
     from .fq12_vm import NREG, build_final_exp_tape, run_tape
+
+    if rns:
+        rt = _rt()
+        fl = rt.to_limbs12(f)
+        m = FQ12.mul(FQ12.conj(fl), FQ12.inv(fl))  # f^(p^6 - 1), positional
+        m = rt.from_limbs(m)
+        batch = m.shape[:-4]
+        one = jnp.broadcast_to(jnp.asarray(rt.one12), batch + rt.one12.shape)
+        regs = jnp.stack([one, m] + [one] * (NREG - 2), axis=len(batch))
+        regs = run_tape(regs, _final_exp_tape(), rt=rt)
+        return jnp.take(regs, 1, axis=len(batch))
 
     m = FQ12.mul(FQ12.conj(f), FQ12.inv(f))  # f^(p^6 - 1)
     batch = m.shape[:-4]
@@ -186,7 +252,10 @@ def _final_exp_tape():
     return build_final_exp_tape()
 
 
-def pairing_check(xs, ys, dbl, addc, has_add, finals):
+def pairing_check(xs, ys, dbl, addc, has_add, finals, rns: bool | None = None):
     """Π e(Pᵢ, Qᵢ) == 1 as a device bool (batch dims broadcast from xs/ys)."""
-    f = miller_loop(xs, ys, dbl, addc, has_add, finals)
-    return FQ12.is_one(final_exponentiation(f))
+    if rns is None:
+        rns = _pairing_rns_default()
+    f = miller_loop(xs, ys, dbl, addc, has_add, finals, rns=rns)
+    fe = final_exponentiation(f, rns=rns)
+    return _rt().is_one12(fe) if rns else FQ12.is_one(fe)
