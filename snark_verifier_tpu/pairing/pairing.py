@@ -96,27 +96,41 @@ def prepare_g2_coeffs(qs) -> Tuple:
 # ---------------------------------------------------------- device kernels
 
 
-def _mul_lines(f, coeffs, xs, ys):
-    """f *= Π_k line_k.  coeffs (..., npairs, 3, 2, 16); xs, ys (..., npairs, 16)."""
+def _mul_lines(f, coeffs, xs, ys, zs=None):
+    """f *= Π_k line_k.  coeffs (..., npairs, 3, 2, 16); xs, ys (..., npairs, 16).
+
+    zs: optional projective Z per pair.  Lines are evaluated at the
+    PROJECTIVE point by scaling the whole line by Z (ℓ·Z = c·Y + c·X·w +
+    c·Z·vw): the spurious Π Z factor lies in Fq, which the easy part of the
+    final exponentiation annihilates (a^(p^6-1)=1 for a ∈ Fq) — this
+    removes the per-element inversion `G1.to_affine` needs (a 254-step
+    dispatch-bound pow scan, 63ms of a 203ms batch-256 decide)."""
     npairs = coeffs.shape[-4]
     for k in range(npairs):
         c = coeffs[..., k, :, :, :]
         c0 = FQ2.smul(c[..., 0, :, :], ys[..., k, :])
         c3 = FQ2.smul(c[..., 1, :, :], xs[..., k, :])
-        f = FQ12.mul_by_034(f, c0, c3, c[..., 2, :, :])
+        c4 = c[..., 2, :, :]
+        if zs is not None:
+            c4 = FQ2.smul(c4, zs[..., k, :])
+        f = FQ12.mul_by_034(f, c0, c3, c4)
     return f
 
 
-def miller_loop(xs, ys, dbl, addc, has_add, finals, rns: bool = False):
+def miller_loop(xs, ys, dbl, addc, has_add, finals, rns: bool = False,
+                zs=None):
     """Multi-Miller loop.  Leading batch dims on xs/ys broadcast into f.
 
     rns=True runs the whole loop on the RNS/MXU tower (tower/rns_tower.py):
     the positional Montgomery inputs (points + precomputed line coeffs) are
-    converted at the graph edge by one batched base-extension matmul."""
+    converted at the graph edge by one batched base-extension matmul.
+    zs: projective Z coords (see _mul_lines)."""
     batch_shape = xs.shape[:-2]
     if rns:
         rt = _rt()
         xs, ys = rt.from_limbs(xs), rt.from_limbs(ys)
+        if zs is not None:
+            zs = rt.from_limbs(zs)
         dbl, addc = rt.from_limbs(dbl), rt.from_limbs(addc)
         finals = rt.from_limbs(finals)
         one = jnp.asarray(rt.one12)
@@ -125,28 +139,28 @@ def miller_loop(xs, ys, dbl, addc, has_add, finals, rns: bool = False):
         def body(f, step):
             dc, ac, ha = step
             f = rt.square12(f)
-            f = _mul_lines_rns(rt, f, dc, xs, ys)
-            fa = _mul_lines_rns(rt, f, ac, xs, ys)
+            f = _mul_lines_rns(rt, f, dc, xs, ys, zs)
+            fa = _mul_lines_rns(rt, f, ac, xs, ys, zs)
             f = rt.select12(jnp.broadcast_to(ha, batch_shape), fa, f)
             return f, None
 
         f, _ = jax.lax.scan(body, f0, (dbl, addc, has_add))
-        f = _mul_lines_rns(rt, f, finals[0], xs, ys)
-        f = _mul_lines_rns(rt, f, finals[1], xs, ys)
+        f = _mul_lines_rns(rt, f, finals[0], xs, ys, zs)
+        f = _mul_lines_rns(rt, f, finals[1], xs, ys, zs)
         return f
     f0 = jnp.broadcast_to(FQ12.one, batch_shape + FQ12.one.shape)
 
     def body(f, step):
         dc, ac, ha = step
         f = FQ12.square(f)
-        f = _mul_lines(f, dc, xs, ys)
-        fa = _mul_lines(f, ac, xs, ys)
+        f = _mul_lines(f, dc, xs, ys, zs)
+        fa = _mul_lines(f, ac, xs, ys, zs)
         f = FQ12.select(jnp.broadcast_to(ha, batch_shape), fa, f)
         return f, None
 
     f, _ = jax.lax.scan(body, f0, (dbl, addc, has_add))
-    f = _mul_lines(f, finals[0], xs, ys)
-    f = _mul_lines(f, finals[1], xs, ys)
+    f = _mul_lines(f, finals[0], xs, ys, zs)
+    f = _mul_lines(f, finals[1], xs, ys, zs)
     return f
 
 
@@ -165,14 +179,17 @@ def _rt():
     return get_rns_tower()
 
 
-def _mul_lines_rns(rt, f, coeffs, xs, ys):
+def _mul_lines_rns(rt, f, coeffs, xs, ys, zs=None):
     """RNS variant of _mul_lines (coeffs (..., npairs, 3, 2, 35))."""
     npairs = coeffs.shape[-4]
     for k in range(npairs):
         c = coeffs[..., k, :, :, :]
         c0 = rt.smul2(c[..., 0, :, :], ys[..., k, :])
         c3 = rt.smul2(c[..., 1, :, :], xs[..., k, :])
-        f = rt.mul_by_034(f, c0, c3, c[..., 2, :, :])
+        c4 = c[..., 2, :, :]
+        if zs is not None:
+            c4 = rt.smul2(c4, zs[..., k, :])
+        f = rt.mul_by_034(f, c0, c3, c4)
     return f
 
 
@@ -252,10 +269,15 @@ def _final_exp_tape():
     return build_final_exp_tape()
 
 
-def pairing_check(xs, ys, dbl, addc, has_add, finals, rns: bool | None = None):
-    """Π e(Pᵢ, Qᵢ) == 1 as a device bool (batch dims broadcast from xs/ys)."""
+def pairing_check(xs, ys, dbl, addc, has_add, finals, rns: bool | None = None,
+                  zs=None):
+    """Π e(Pᵢ, Qᵢ) == 1 as a device bool (batch dims broadcast from xs/ys).
+
+    zs: optional projective Z per pair — inversion-free line evaluation
+    (see _mul_lines; valid because the final exponentiation kills Fq
+    factors)."""
     if rns is None:
         rns = _pairing_rns_default()
-    f = miller_loop(xs, ys, dbl, addc, has_add, finals, rns=rns)
+    f = miller_loop(xs, ys, dbl, addc, has_add, finals, rns=rns, zs=zs)
     fe = final_exponentiation(f, rns=rns)
     return _rt().is_one12(fe) if rns else FQ12.is_one(fe)

@@ -17,16 +17,20 @@ from ...pairing.pairing import pairing_check
 
 
 def decide(srs, lhs, rhs):
-    """lhs, rhs: (..., 3, 16) projective device points -> (...,) bool."""
+    """lhs, rhs: (..., 3, 16) projective device points -> (...,) bool.
+
+    Inversion-free: the Miller loop evaluates lines at the PROJECTIVE
+    points (each line scaled by Z — an Fq factor the final exponentiation
+    kills), so no `G1.to_affine` normalization is needed.  A Z=0 input
+    (point at infinity) is not a valid accumulator and yields reject."""
     from ...utils.timing import METER
 
     METER.count("pairing", 2)
-    lx, ly, _ = G1.to_affine(lhs)
-    rx, ry, _ = G1.to_affine(rhs)
-    xs = jnp.stack([lx, rx], axis=-2)  # (..., 2, 16)
-    ys = jnp.stack([ly, ry], axis=-2)
+    xs = jnp.stack([lhs[..., 0, :], rhs[..., 0, :]], axis=-2)  # (..., 2, 16)
+    ys = jnp.stack([lhs[..., 1, :], rhs[..., 1, :]], axis=-2)
+    zs = jnp.stack([lhs[..., 2, :], rhs[..., 2, :]], axis=-2)
     dbl, addc, has_add, finals = srs.decider_coeffs
-    return pairing_check(xs, ys, dbl, addc, has_add, finals)
+    return pairing_check(xs, ys, dbl, addc, has_add, finals, zs=zs)
 
 
 def decide_all(srs, accumulators):
