@@ -101,8 +101,8 @@ class TracingVM(YulVM):
         if op in ("block", "fun"):
             return super().exec_stmt(st, scope)
         g0 = self.gas_used
-        before = dict(scope) if op in ("let", "assign") else None
         record = len(self.steps) < self.max_steps
+        before = dict(scope) if record and op in ("let", "assign") else None
         super().exec_stmt(st, scope)
         if record:
             writes = {}
@@ -217,9 +217,18 @@ class DebugTrace:
             elif cmd == "p":
                 pos = max(0, pos - page)
             elif cmd.startswith("j "):
-                pos = max(0, min(int(cmd[2:], 0), len(self.steps) - 1))
+                try:
+                    tgt = int(cmd[2:], 0)
+                except ValueError:
+                    out.write("usage: j <step-number>\n")
+                    continue
+                pos = max(0, min(tgt, len(self.steps) - 1))
             elif cmd.startswith("/"):
-                hit = self.find(cmd[1:], after=pos + 1)
+                try:
+                    hit = self.find(cmd[1:], after=pos + 1)
+                except re.error as e:
+                    out.write(f"bad pattern: {e}\n")
+                    continue
                 if hit is None:
                     out.write("no match\n")
                     continue

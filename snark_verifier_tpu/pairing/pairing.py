@@ -169,7 +169,7 @@ def _pairing_rns_default() -> bool:
     (PAIRING_RNS=0/1 overrides)."""
     env = os.environ.get("PAIRING_RNS")
     if env is not None:
-        return env not in ("", "0")
+        return env.strip().lower() not in ("", "0", "false", "off", "no")
     return jax.default_backend() != "cpu"
 
 

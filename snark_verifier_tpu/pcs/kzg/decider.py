@@ -22,7 +22,11 @@ def decide(srs, lhs, rhs):
     Inversion-free: the Miller loop evaluates lines at the PROJECTIVE
     points (each line scaled by Z — an Fq factor the final exponentiation
     kills), so no `G1.to_affine` normalization is needed.  A Z=0 input
-    (point at infinity) is not a valid accumulator and yields reject."""
+    (point at infinity) contributes the identity e(O, Q) = 1 — the scaled
+    lines collapse into the Fq2 subfield, which the easy part of the final
+    exponentiation annihilates — matching the reference multi_miller_loop's
+    skip-infinity semantics (accumulator validation upstream is what rejects
+    infinity where it is illegal)."""
     from ...utils.timing import METER
 
     METER.count("pairing", 2)
