@@ -26,8 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ff import FR_FIELD
 from ..pcs.kzg.decider import decide_all
-from ..sdk.aggregation import SCHEMES, _stack_instances, _stack_streams
-from ..transcript import PoseidonTranscript
+from ..sdk.aggregation import SCHEMES, TRANSCRIPTS, _stack_instances, _stack_streams
 from ..verifier.plonk.verifier import PlonkSuccinctVerifier
 
 _FN_CACHE: dict = {}
@@ -43,7 +42,8 @@ def _cached(key, build):
 
 def batch_succinct_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
                                   scheme_name: str = "shplonk",
-                                  axis_name: str = "batch"):
+                                  axis_name: str = "batch",
+                                  transcript: str = "poseidon"):
     """Batch-sharded succinct verification -> list of (lhs, rhs) accumulator
     pairs, each (B, 3, 16) sharded over the mesh axis."""
     assert snarks
@@ -69,7 +69,7 @@ def batch_succinct_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
         for ncol in protocol.num_instance:
             instances.append([inst_l[:, k + i, :] for i in range(ncol)])
             k += ncol
-        td = PoseidonTranscript(scalars=sc_l, points=pts_l, batch_shape=(Bl,))
+        td = TRANSCRIPTS[transcript](scalars=sc_l, points=pts_l, batch_shape=(Bl,))
         proof = PlonkSuccinctVerifier.read_proof(protocol, instances, td, scheme)
         accs = PlonkSuccinctVerifier.verify(
             srs.g_dev, protocol, instances, proof, scheme
@@ -83,7 +83,8 @@ def batch_succinct_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
     # re-trace the whole verifier graph every time (tens of seconds of
     # host work at batch 256).
     key = ("succinct", protocol.content_hash(), srs.content_hash(),
-           scheme_name, axis_name, mesh, sc.shape, pts.shape, flat_inst.shape)
+           scheme_name, transcript, axis_name, mesh, sc.shape, pts.shape,
+           flat_inst.shape)
     fn = _cached(key, lambda: jax.jit(
         shard_map(
             local,
@@ -122,12 +123,13 @@ def batch_decide_sharded(accumulators: List, srs, mesh: Mesh,
 
 def batch_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
                          scheme_name: str = "shplonk", axis_name: str = "batch",
-                         timings: dict = None):
+                         timings: dict = None, transcript: str = "poseidon"):
     """-> (B,) bool array; B must divide by the mesh axis size."""
     import time
 
     t0 = time.time()
-    accs = batch_succinct_verify_sharded(snarks, srs, mesh, scheme_name, axis_name)
+    accs = batch_succinct_verify_sharded(snarks, srs, mesh, scheme_name,
+                                         axis_name, transcript)
     jax.block_until_ready(accs)
     t1 = time.time()
     oks = batch_decide_sharded(accs, srs, mesh, axis_name)

@@ -12,8 +12,11 @@ fold their deferred-pairing accumulators with the KZG accumulation scheme
   aggregate      — batched succinct-verify -> KzgAs fold -> one accumulator
   aggregate_and_decide — aggregate + single pairing check
 
-All snarks in a batch must share a protocol (shape specialization, mirroring
-how the reference monomorphizes per circuit).
+All snarks in one *batched kernel* must share a protocol (shape
+specialization, mirroring how the reference monomorphizes per circuit);
+`aggregate_heterogeneous` lifts that restriction at the SDK level by grouping
+per protocol before the shared fold + single pairing (the reference's
+zkevm+state shape, benches/zkevm_plus_state.rs).
 """
 
 from __future__ import annotations
@@ -26,11 +29,12 @@ from ..ff import FR_FIELD
 from ..pcs.kzg.accumulation import KzgAs
 from ..pcs.kzg.decider import decide, decide_all
 from ..pcs.kzg.multiopen import Bdfg21, Gwc19
-from ..transcript import PoseidonTranscript
+from ..transcript import EvmTranscript, PoseidonTranscript
 from ..verifier.plonk.verifier import PlonkSuccinctVerifier
 from .snark import Snark
 
 SCHEMES = {"shplonk": Bdfg21, "gwc": Gwc19}
+TRANSCRIPTS = {"poseidon": PoseidonTranscript, "evm": EvmTranscript}
 
 
 def _stack_streams(snarks: Sequence[Snark]):
@@ -73,22 +77,32 @@ def _stack_instances(snarks: Sequence[Snark]):
     return out
 
 
-def batch_succinct_verify(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
+def batch_succinct_verify(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk",
+                          transcript: str = "poseidon"):
     """One batched succinct verification of B same-protocol snarks.
-    Returns the list of (lhs, rhs) accumulators, each (B, 3, 16)."""
+    Returns the list of (lhs, rhs) accumulators, each (B, 3, 16).
+
+    transcript: "poseidon" (reference PoseidonTranscript) or "evm" (keccak,
+    the on-chain proof family — device keccak-f[1600] path)."""
     assert snarks
     protocol = snarks[0].protocol
+    assert all(
+        s.protocol.content_hash() == protocol.content_hash() for s in snarks
+    ), "batched kernel requires one shared protocol; use aggregate_heterogeneous"
     scheme = SCHEMES[scheme_name]
     sc, pts = _stack_streams(snarks)
     instances = _stack_instances(snarks)
-    td = PoseidonTranscript(scalars=sc, points=pts, batch_shape=(len(snarks),))
+    td = TRANSCRIPTS[transcript](
+        scalars=sc, points=pts, batch_shape=(len(snarks),)
+    )
     proof = PlonkSuccinctVerifier.read_proof(protocol, instances, td, scheme)
     return PlonkSuccinctVerifier.verify(srs.g_dev, protocol, instances, proof, scheme)
 
 
-def batch_verify(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
+def batch_verify(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk",
+                 transcript: str = "poseidon"):
     """-> (B,) bool array: per-proof full verification (succinct + decide)."""
-    accs = batch_succinct_verify(snarks, srs, scheme_name)
+    accs = batch_succinct_verify(snarks, srs, scheme_name, transcript)
     oks = decide_all(srs, accs)  # (num_accs, B)
     return oks.all(axis=0)
 
@@ -116,4 +130,48 @@ def aggregate(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
 
 def aggregate_and_decide(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
     lhs, rhs = aggregate(snarks, srs, scheme_name)
+    return decide(srs, lhs, rhs)
+
+
+def aggregate_heterogeneous(snarks: Sequence[Snark], srs,
+                            scheme_name: str = "shplonk"):
+    """Mixed-protocol aggregation: group-by-protocol batched succinct
+    verification → cross-group KzgAs fold → ONE deferred pairing pair.
+
+    The TPU-idiomatic analogue of the reference's mixed-snark aggregation
+    (/root/reference/snark-verifier-sdk/src/halo2/aggregation.rs:203-245 —
+    its zkevm+state bench folds two different circuits into one accumulator,
+    benches/zkevm_plus_state.rs).  Each distinct protocol compiles to its own
+    shape-specialized succinct-verify program (mirroring the reference's
+    per-circuit monomorphization); the accumulators all live in the same
+    (G1, G1) KZG accumulator space, so the fold and final pairing are shared
+    regardless of which circuit produced them.
+
+    Accumulators enter the fold transcript in original snark order (each
+    snark contributes its num_accs accumulators contiguously), so the fold
+    challenge is independent of the grouping.
+    """
+    assert snarks
+    groups: dict = {}
+    for i, s in enumerate(snarks):
+        groups.setdefault(s.protocol.content_hash(), []).append(i)
+    per_snark: List[List[Tuple]] = [[] for _ in snarks]
+    for idxs in groups.values():
+        accs = batch_succinct_verify([snarks[i] for i in idxs], srs, scheme_name)
+        for lhs, rhs in accs:
+            for j, i in enumerate(idxs):
+                per_snark[i].append((lhs[j], rhs[j]))
+    flat = [acc for lst in per_snark for acc in lst]
+    td = PoseidonTranscript(
+        scalars=jnp.zeros((0, 16), jnp.uint32),
+        points=jnp.zeros((0, 2, 16), jnp.uint32),
+    )
+    proof = KzgAs.read_proof(False, flat, td)
+    return KzgAs.verify(flat, proof)
+
+
+def aggregate_heterogeneous_and_decide(snarks: Sequence[Snark], srs,
+                                       scheme_name: str = "shplonk"):
+    """zkevm+state shape end-to-end: mixed protocols, one pairing check."""
+    lhs, rhs = aggregate_heterogeneous(snarks, srs, scheme_name)
     return decide(srs, lhs, rhs)

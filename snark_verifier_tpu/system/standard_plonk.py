@@ -104,6 +104,27 @@ class StandardPlonk:
             cols["c"][i] = (-acc) * pow(cols["q_c"][i], -1, R) % R
         return StandardPlonk(k=k, instance=instance, **cols)
 
+    def set_instance(self, values: List[int]) -> "StandardPlonk":
+        """Replace the instance and re-solve column c so the gate still holds.
+        Fixed columns are untouched, so the protocol (and its compiled
+        verifier program) is shared across variants — the pattern the
+        reference's benches use (one circuit, many instances)."""
+        n = 1 << self.k
+        assert len(values) == len(self.instance)
+        self.instance = [v % R for v in values]
+        inst_padded = self.instance + [0] * (n - len(self.instance))
+        for i in range(n):
+            acc = (
+                self.q_a[i] * self.a[i]
+                + self.q_b[i] * self.b[i]
+                + self.q_ab[i] * self.a[i] * self.b[i]
+                + self.q_const[i]
+                + inst_padded[i]
+                + self.q_rot[i] * self.a[(i + 1) % n]
+            ) % R
+            self.c[i] = (-acc) * pow(self.q_c[i], -1, R) % R
+        return self
+
 
 def build_protocol(circuit: StandardPlonk, srs) -> PlonkProtocol:
     """Commit fixed columns and assemble the PlonkProtocol."""

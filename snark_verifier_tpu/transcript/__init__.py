@@ -4,9 +4,14 @@ from .poseidon_transcript import (
     PoseidonTranscriptWriter,
     fq_to_fr,
 )
-from .evm_transcript import EvmTranscriptPy, PrecomputedChallengeTranscript
+from .evm_transcript import (
+    EvmTranscript,
+    EvmTranscriptPy,
+    PrecomputedChallengeTranscript,
+)
 
 __all__ = [
+    "EvmTranscript",
     "EvmTranscriptPy",
     "PoseidonTranscript",
     "PoseidonTranscriptPy",

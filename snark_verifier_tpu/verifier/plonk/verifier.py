@@ -263,16 +263,20 @@ class PlonkVerifier:
         return L.decide_all(srs, accumulators)
 
 
-def succinct_verify_native(snark, srs, scheme_name: str = "shplonk"):
+def succinct_verify_native(snark, srs, scheme_name: str = "shplonk",
+                           transcript: str = "poseidon"):
     """Python-int succinct verification of an sdk.Snark -> list of
     [(lhs, rhs)] affine-int accumulators (fresh + instance-decoded old ones;
-    the reference's NativeLoader PlonkSuccinctVerifier path)."""
+    the reference's NativeLoader PlonkSuccinctVerifier path).
+
+    transcript: "poseidon" or "evm" (keccak, the on-chain proof family)."""
     from ...loader.base import NATIVE
     from ...pcs.kzg.multiopen import Bdfg21, Gwc19
-    from ...transcript import PoseidonTranscriptPy
+    from ...transcript import EvmTranscriptPy, PoseidonTranscriptPy
 
     scheme = Bdfg21 if scheme_name == "shplonk" else Gwc19
-    t = PoseidonTranscriptPy(scalars=snark.scalars, points=snark.points)
+    tcls = PoseidonTranscriptPy if transcript == "poseidon" else EvmTranscriptPy
+    t = tcls(scalars=snark.scalars, points=snark.points)
     instances = [[v % R for v in col] for col in snark.instances]
     proof = PlonkProof.read(snark.protocol, instances, t, scheme, L=NATIVE)
     return PlonkSuccinctVerifier.verify(
@@ -280,11 +284,12 @@ def succinct_verify_native(snark, srs, scheme_name: str = "shplonk"):
     )
 
 
-def verify_snark_native(snark, srs, scheme_name: str = "shplonk") -> bool:
+def verify_snark_native(snark, srs, scheme_name: str = "shplonk",
+                        transcript: str = "poseidon") -> bool:
     """Full python-int verification of an sdk.Snark (the reference's
     native-verifier path; used as the prover self-check —
     snark-verifier-sdk/src/halo2.rs:124-138)."""
     from ...loader.base import NATIVE
 
-    accumulators = succinct_verify_native(snark, srs, scheme_name)
+    accumulators = succinct_verify_native(snark, srs, scheme_name, transcript)
     return bool(NATIVE.decide_all(srs, accumulators))
