@@ -158,7 +158,7 @@ def bench_msm():
     }
 
 
-def _load_fixture_snarks():
+def _load_fixture_snarks(prefix: str = "snark_"):
     from snark_verifier_tpu.sdk.snark import Snark
     from snark_verifier_tpu.sdk.srs import load_params
 
@@ -168,7 +168,7 @@ def _load_fixture_snarks():
     srs = load_params(os.path.join(d, "srs.bin"))
     snarks = []
     for name in sorted(os.listdir(d)):
-        if name.startswith("snark_"):
+        if name.startswith(prefix):
             snarks.append(Snark.load(os.path.join(d, name)))
     return srs, snarks
 
@@ -181,19 +181,24 @@ def bench_verify():
     accidental batch-level dedup."""
     B = int(os.environ.get("BENCH_BATCH", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # BENCH_TRANSCRIPT=evm runs the keccak (on-chain) proof family through
+    # the same batched device path via the device keccak-f[1600] transcript
+    transcript = os.environ.get("BENCH_TRANSCRIPT", "poseidon")
     from snark_verifier_tpu.parallel import batch_verify_sharded
     from snark_verifier_tpu.verifier.plonk.verifier import verify_snark_native
 
-    srs, base = _load_fixture_snarks()
+    prefix = "evmsnark_" if transcript == "evm" else "snark_"
+    srs, base = _load_fixture_snarks(prefix)
     if not base:
-        log("verify: no fixtures found, skipping")
+        log(f"verify: no {prefix} fixtures found, skipping")
         return {}
     snarks = [base[i % len(base)] for i in range(B)]
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("batch",))
 
     timings = {}
     t0 = time.time()
-    oks = batch_verify_sharded(snarks, srs, mesh, "shplonk", timings=timings)
+    oks = batch_verify_sharded(snarks, srs, mesh, "shplonk", timings=timings,
+                               transcript=transcript)
     _sync(oks)
     compile_s = time.time() - t0
     log(f"verify compile+first run: {compile_s:.1f}s {timings}")
@@ -202,7 +207,8 @@ def bench_verify():
     times = []
     for _ in range(reps):
         t0 = time.time()
-        _sync(batch_verify_sharded(snarks, srs, mesh, "shplonk"))
+        _sync(batch_verify_sharded(snarks, srs, mesh, "shplonk",
+                                   transcript=transcript))
         times.append(time.time() - t0)
     dt = min(times)
 
@@ -215,7 +221,7 @@ def bench_verify():
              snarks[0].scalars, snarks[0].points)
     tam.instances[0][0] = (tam.instances[0][0] + 1) % _FR.p
     neg = np.asarray(batch_verify_sharded([tam] + snarks[1:], srs, mesh,
-                                          "shplonk"))
+                                          "shplonk", transcript=transcript))
     neg_ok = (not bool(neg[0])) and bool(neg[1:].all())
     log(f"verify correct={ok} negative_control={neg_ok} best={dt:.3f}s")
 
@@ -224,9 +230,49 @@ def bench_verify():
     t0 = time.time()
     n_native = 2
     for i in range(n_native):
-        assert verify_snark_native(base[i], srs, "shplonk")
+        assert verify_snark_native(base[i], srs, "shplonk",
+                                   transcript=transcript)
     native_rate = n_native / (time.time() - t0)
     log(f"native-loader verify: {native_rate:.2f} proofs/s")
+
+    # warm-start-at-point-of-use: a FRESH process re-running this exact
+    # pipeline must pay seconds (AOT executable cache, sdk/aot.py), not the
+    # minutes-long cold compile; measured in-run so the driver records it
+    warm_s = None
+    from snark_verifier_tpu.sdk import aot as _aot
+
+    if _aot.enabled():
+        import subprocess as _sp
+
+        code = (
+            "import os,sys,time\n"
+            f"sys.path.insert(0, {REPO!r})\n"
+            "import jax, numpy as np\n"
+            "t0=time.time()\n"
+            "from snark_verifier_tpu.parallel import batch_verify_sharded\n"
+            "from snark_verifier_tpu.sdk.snark import Snark\n"
+            "from snark_verifier_tpu.sdk.srs import load_params\n"
+            f"d=os.path.join({REPO!r},'benchmarks','fixtures','vanilla_k10')\n"
+            "srs=load_params(os.path.join(d,'srs.bin'))\n"
+            f"base=[Snark.load(os.path.join(d,n)) for n in sorted(os.listdir(d)) if n.startswith({prefix!r})]\n"
+            f"snarks=[base[i%len(base)] for i in range({B})]\n"
+            "mesh=jax.sharding.Mesh(np.array(jax.devices()[:1]),('batch',))\n"
+            f"oks=batch_verify_sharded(snarks,srs,mesh,'shplonk',transcript={transcript!r})\n"
+            "assert bool(np.asarray(jax.device_get(oks)).all())\n"
+            "print('WARM_START_S=%.1f'%(time.time()-t0))\n"
+        )
+        t0 = time.time()
+        try:
+            out = _sp.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=600)
+            for ln in out.stdout.splitlines():
+                if ln.startswith("WARM_START_S="):
+                    warm_s = float(ln.split("=")[1])
+            if warm_s is None:
+                log(f"warm-start probe failed: {out.stderr[-300:]}")
+        except Exception as e:
+            log(f"warm-start probe error: {e}")
+        log(f"verify warm start (fresh process): {warm_s}s")
 
     return {
         "verify_batch": B,
@@ -234,7 +280,72 @@ def bench_verify():
         "verify_correct": ok and neg_ok,
         "verify_compile_s": round(compile_s, 1),
         "verify_native_baseline_proofs_per_sec": round(native_rate, 2),
-        "verify_workload": "vanilla_plonk_k10_perm_lookup_challenge_shplonk",
+        "verify_warm_start_s": warm_s,
+        "verify_workload": (
+            "vanilla_plonk_k10_perm_lookup_challenge_shplonk"
+            + ("_keccak" if transcript == "evm" else "")
+        ),
+    }
+
+
+def bench_tree():
+    """BASELINE config #5 at single-chip scale: 1024-leaf two-layer
+    recursive fold (per-shard succinct-verify + KzgAs fold -> all_gather ->
+    root fold -> ONE pairing), leaves/s.  Correctness gates: the valid batch
+    root-decides true AND a batch with one tampered leaf root-decides false
+    (same shapes — the compiled executable is reused)."""
+    B = int(os.environ.get("BENCH_BATCH_TREE", "1024"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    from snark_verifier_tpu.parallel.comm_model import (
+        collective_inventory_from_text,
+        predict_efficiency,
+    )
+    from snark_verifier_tpu.sdk.snark import Snark
+    from snark_verifier_tpu.sdk.tree_aggregation import tree_aggregate_sharded
+
+    srs, base = _load_fixture_snarks()
+    if not base:
+        log("tree: no fixtures found, skipping")
+        return {}
+    snarks = [base[i % len(base)] for i in range(B)]
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("batch",))
+
+    t0 = time.time()
+    _, _, ok = tree_aggregate_sharded(snarks, srs, mesh, "shplonk")
+    _sync(ok)
+    compile_s = time.time() - t0
+    log(f"tree compile+first run: {compile_s:.1f}s")
+    root_ok = bool(np.asarray(ok))
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        _, _, ok = tree_aggregate_sharded(snarks, srs, mesh, "shplonk")
+        _sync(ok)
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    from snark_verifier_tpu.ff.spec import FR as _FR
+
+    tam = Snark(snarks[0].protocol, [list(snarks[0].instances[0])],
+                snarks[0].scalars, snarks[0].points)
+    tam.instances[0][0] = (tam.instances[0][0] + 1) % _FR.p
+    _, _, bad_ok = tree_aggregate_sharded([tam] + snarks[1:], srs, mesh,
+                                          "shplonk")
+    neg_ok = not bool(np.asarray(bad_ok))
+    log(f"tree correct={root_ok} negative_control={neg_ok} best={dt:.3f}s")
+
+    # scaling-efficiency evidence: predicted weak-scaling efficiency of the
+    # mesh layers at this per-device load (SCALING.md model; the collective
+    # volumes the model assumes are asserted by the dryrun artifact).
+    eff8 = predict_efficiency(B, 8, chip_points_per_sec=B / dt,
+                              coll_bytes_per_device=2 * 193)
+    return {
+        "tree_leaves": B,
+        "tree_leaves_per_sec": round(B / dt, 2),
+        "tree_correct": root_ok and neg_ok,
+        "tree_compile_s": round(compile_s, 1),
+        "tree_pred_weak_scaling_eff_8dev": round(eff8["efficiency"], 6),
     }
 
 
@@ -289,6 +400,7 @@ def main():
         "msm": bench_msm,
         "verify": bench_verify,
         "pairing": bench_pairing,
+        "tree": bench_tree,
     }
     def emit(r):
         """Print the JSON line with everything measured SO FAR — emitted
@@ -296,7 +408,9 @@ def main():
         a parseable last line with the completed phases."""
         msm_rate = r.get("msm_points_per_sec")
         cpu = r.get("msm_cpu_baseline_points_per_sec")
-        primary_ok = r.get("msm_correct", False)
+        # only brand the primary metric INCORRECT if the msm phase actually
+        # ran and failed its gate (single-phase runs skip it legitimately)
+        primary_ok = r.get("msm_correct", "msm" not in order)
         line = {
             "metric": "msm_points_per_sec_2^%s_bn254_g1" % r.get("msm_log2n", 20)
             + ("" if primary_ok else "_INCORRECT"),
@@ -313,7 +427,7 @@ def main():
         }
         print(json.dumps(line), flush=True)
 
-    order = [mode] if mode in phases else ["msm", "verify", "pairing"]
+    order = [mode] if mode in phases else ["msm", "verify", "pairing", "tree"]
     for name in order:
         if time.time() - start > budget and r:
             log(f"budget {budget}s exceeded, skipping {name}")

@@ -30,4 +30,12 @@ for i in range(M):
     snark = gen_snark(asg, protocol, srs, scheme="shplonk", seed=i)
     snark.save(os.path.join(out, f"snark_{i:02d}.json"))
     print(f"snark {i}: {time.time()-t0:.1f}s", flush=True)
+# keccak-transcript twins (the on-chain family; BENCH_TRANSCRIPT=evm)
+for i in range(M):
+    t0 = time.time()
+    asg = demo_assignment(spec, seed=i)
+    snark = gen_snark(asg, protocol, srs, scheme="shplonk", seed=i,
+                      transcript="evm")
+    snark.save(os.path.join(out, f"evmsnark_{i:02d}.json"))
+    print(f"evm snark {i}: {time.time()-t0:.1f}s", flush=True)
 print("done", flush=True)

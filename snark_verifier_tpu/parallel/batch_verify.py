@@ -32,10 +32,22 @@ from ..verifier.plonk.verifier import PlonkSuccinctVerifier
 _FN_CACHE: dict = {}
 
 
-def _cached(key, build):
+def _cached(key, build, args=None):
+    """Process-local cache of jitted callables; when `args` is given and the
+    AOT executable cache is enabled (TPU backends — sdk/aot.py), the entry is
+    a deserialized/compiled PJRT executable shared ACROSS processes, so a
+    fresh process pays seconds instead of the minutes-long verify compile."""
     fn = _FN_CACHE.get(key)
     if fn is None:
-        fn = build()
+        if args is not None:
+            from ..sdk import aot
+
+            if aot.enabled():
+                fn = aot.load_or_compile(key, build, args)
+            else:
+                fn = build()
+        else:
+            fn = build()
         _FN_CACHE[key] = fn
     return fn
 
@@ -93,7 +105,7 @@ def batch_succinct_verify_sharded(snarks: Sequence, srs, mesh: Mesh,
             out_specs=P(None, None, axis_name),
             check_vma=False,
         )
-    ))
+    ), args=(sc, pts, flat_inst))
     accs = fn(sc, pts, flat_inst)
     return [(accs[i, 0], accs[i, 1]) for i in range(accs.shape[0])]
 
@@ -117,7 +129,7 @@ def batch_decide_sharded(accumulators: List, srs, mesh: Mesh,
             out_specs=P(axis_name),
             check_vma=False,
         )
-    ))
+    ), args=(lhs, rhs))
     return fn(lhs, rhs)
 
 

@@ -129,8 +129,13 @@ def aggregate(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
 
 
 def aggregate_and_decide(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
+    import jax
+
     lhs, rhs = aggregate(snarks, srs, scheme_name)
-    return decide(srs, lhs, rhs)
+    # jit the pairing: eager execution dispatches hundreds of tiny op
+    # compiles, which is both slow and a reproduced XLA:CPU segfault trigger
+    # (tests/conftest.py header)
+    return jax.jit(lambda l, r: decide(srs, l, r))(lhs, rhs)
 
 
 def aggregate_heterogeneous(snarks: Sequence[Snark], srs,
@@ -173,5 +178,7 @@ def aggregate_heterogeneous(snarks: Sequence[Snark], srs,
 def aggregate_heterogeneous_and_decide(snarks: Sequence[Snark], srs,
                                        scheme_name: str = "shplonk"):
     """zkevm+state shape end-to-end: mixed protocols, one pairing check."""
+    import jax
+
     lhs, rhs = aggregate_heterogeneous(snarks, srs, scheme_name)
-    return decide(srs, lhs, rhs)
+    return jax.jit(lambda l, r: decide(srs, l, r))(lhs, rhs)

@@ -70,6 +70,25 @@ def tree_aggregate_sharded(snarks: Sequence, srs, mesh: Mesh,
     """Mesh version: leaves sharded over `axis_name`; layer-1 verify+fold is
     per-device, layer-2 fold is replicated after an all_gather.  Returns the
     root (lhs, rhs) plus the one-pairing decision, all inside one jit."""
+    fn, args = _build_sharded(snarks, srs, mesh, scheme_name, axis_name)
+    return fn(*args)
+
+
+def tree_comm_inventory(snarks: Sequence, srs, mesh: Mesh,
+                        scheme_name: str = "shplonk",
+                        axis_name: str = "batch"):
+    """MEASURED collective inventory of one sharded tree-fold step: lowers
+    the exact jitted computation (no compile, no execution) and accounts
+    every collective op + byte volume from the StableHLO — the evidence the
+    BASELINE scaling target asks for (see parallel/comm_model.py)."""
+    from ..parallel.comm_model import collective_inventory
+
+    fn, args = _build_sharded(snarks, srs, mesh, scheme_name, axis_name)
+    return collective_inventory(fn, *args, optimized=False)
+
+
+def _build_sharded(snarks: Sequence, srs, mesh: Mesh,
+                   scheme_name: str = "shplonk", axis_name: str = "batch"):
     protocol = snarks[0].protocol
     scheme = SCHEMES[scheme_name]
     ndev = mesh.shape[axis_name]
@@ -109,7 +128,15 @@ def tree_aggregate_sharded(snarks: Sequence, srs, mesh: Mesh,
         ok = decide(srs, root_lhs, root_rhs)
         return root_lhs, root_rhs, ok
 
-    fn = jax.jit(
+    # cache the jitted callable: a fresh jax.jit wrapper per call would
+    # re-trace the whole two-layer graph every invocation (tens of seconds
+    # of host work at batch 1024 — the same trap parallel/batch_verify.py's
+    # _FN_CACHE closes)
+    from ..parallel.batch_verify import _cached
+
+    key = ("tree", protocol.content_hash(), srs.content_hash(), scheme_name,
+           axis_name, mesh, sc.shape, pts.shape, flat_inst.shape)
+    fn = _cached(key, lambda: jax.jit(
         shard_map(
             local,
             mesh=mesh,
@@ -117,5 +144,5 @@ def tree_aggregate_sharded(snarks: Sequence, srs, mesh: Mesh,
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-    )
-    return fn(sc, pts, flat_inst)
+    ), args=(sc, pts, flat_inst))
+    return fn, (sc, pts, flat_inst)

@@ -746,12 +746,18 @@ def prove(asg: Assignment, protocol: PlonkProtocol, srs,
 
 
 def gen_snark(asg: Assignment, protocol: PlonkProtocol, srs,
-              scheme: str = "shplonk", seed: int = 0, check: bool = True):
+              scheme: str = "shplonk", seed: int = 0, check: bool = True,
+              transcript: str = "poseidon"):
     """check=True re-verifies the generated proof through the native-loader
-    verifier before returning (reference self-check, halo2.rs:124-138)."""
+    verifier before returning (reference self-check, halo2.rs:124-138).
+    transcript: "poseidon" or "evm" (keccak Fiat-Shamir, the on-chain proof
+    family — reference gen_evm_proof_*, snark-verifier-sdk/src/evm.rs:37-108)."""
     from ..sdk.snark import Snark
+    from ..transcript import EvmTranscriptPy
 
-    scalars, points = prove(asg, protocol, srs, scheme=scheme, seed=seed)
+    t = EvmTranscriptPy() if transcript == "evm" else None
+    scalars, points = prove(asg, protocol, srs, scheme=scheme, seed=seed,
+                            transcript=t)
     snark = Snark(
         protocol=protocol,
         instances=[list(c) for c in asg.instance],
@@ -761,7 +767,9 @@ def gen_snark(asg: Assignment, protocol: PlonkProtocol, srs,
     if check:
         from ..verifier.plonk.verifier import verify_snark_native
 
-        assert verify_snark_native(snark, srs, scheme), "self-check verify failed"
+        assert verify_snark_native(snark, srs, scheme, transcript=transcript), (
+            "self-check verify failed"
+        )
     return snark
 
 

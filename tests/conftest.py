@@ -46,6 +46,15 @@ jax.config.update("jax_platforms", "cpu")
 _ISOLATION_ENV = "SNARK_TPU_TEST_CHILD"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy test kept out of the fast tier "
+        "(run fast tier with: pytest tests/ -q -m 'not slow'; "
+        "nightly/full: pytest tests/ -q)",
+    )
+
+
 def pytest_runtestloop(session):
     """Run each collected test module in its own subprocess (see header)."""
     if os.environ.get(_ISOLATION_ENV) == "1":
@@ -69,6 +78,9 @@ def pytest_runtestloop(session):
     kexpr = getattr(session.config.option, "keyword", "")
     if kexpr:
         opts += ["-k", kexpr]
+    mexpr = getattr(session.config.option, "markexpr", "")
+    if mexpr:
+        opts += ["-m", mexpr]
     opts.append("-q")
 
     env = dict(os.environ)
