@@ -138,6 +138,17 @@ def aggregate_and_decide(snarks: Sequence[Snark], srs, scheme_name: str = "shplo
     return jax.jit(lambda l, r: decide(srs, l, r))(lhs, rhs)
 
 
+def _stack_instances_flat(snarks: Sequence[Snark]):
+    """-> (B, total_instances, 16) device array (one put)."""
+    inst_cols = _stack_instances(snarks)
+    if any(snarks[0].protocol.num_instance):
+        return jnp.stack([v for col in inst_cols for v in col], axis=1)
+    return jnp.zeros((len(snarks), 0, 16), jnp.uint32)
+
+
+_HET_CACHE: dict = {}
+
+
 def aggregate_heterogeneous(snarks: Sequence[Snark], srs,
                             scheme_name: str = "shplonk"):
     """Mixed-protocol aggregation: group-by-protocol batched succinct
@@ -155,24 +166,72 @@ def aggregate_heterogeneous(snarks: Sequence[Snark], srs,
     Accumulators enter the fold transcript in original snark order (each
     snark contributes its num_accs accumulators contiguously), so the fold
     challenge is independent of the grouping.
+
+    The whole computation (per-group verifies + fold) runs as ONE cached
+    jitted function: eager execution would dispatch thousands of tiny op
+    compiles — slow, and a reproduced XLA:CPU segfault trigger
+    (tests/conftest.py header).
     """
+    import jax
+
     assert snarks
     groups: dict = {}
     for i, s in enumerate(snarks):
         groups.setdefault(s.protocol.content_hash(), []).append(i)
-    per_snark: List[List[Tuple]] = [[] for _ in snarks]
-    for idxs in groups.values():
-        accs = batch_succinct_verify([snarks[i] for i in idxs], srs, scheme_name)
-        for lhs, rhs in accs:
-            for j, i in enumerate(idxs):
-                per_snark[i].append((lhs[j], rhs[j]))
-    flat = [acc for lst in per_snark for acc in lst]
-    td = PoseidonTranscript(
-        scalars=jnp.zeros((0, 16), jnp.uint32),
-        points=jnp.zeros((0, 2, 16), jnp.uint32),
+    group_list = [tuple(v) for v in groups.values()]
+    protos = [snarks[idxs[0]].protocol for idxs in group_list]
+    scheme = SCHEMES[scheme_name]
+
+    flat_args = []
+    for idxs in group_list:
+        g = [snarks[i] for i in idxs]
+        sc, pts = _stack_streams(g)
+        flat_args += [sc, pts, _stack_instances_flat(g)]
+
+    def build():
+        def fn(*args):
+            per_snark: List[List[Tuple]] = [[] for _ in snarks]
+            for gi, idxs in enumerate(group_list):
+                protocol = protos[gi]
+                sc, pts, inst = args[3 * gi : 3 * gi + 3]
+                instances, k = [], 0
+                for ncol in protocol.num_instance:
+                    instances.append([inst[:, k + i, :] for i in range(ncol)])
+                    k += ncol
+                td = PoseidonTranscript(scalars=sc, points=pts,
+                                        batch_shape=(len(idxs),))
+                proof = PlonkSuccinctVerifier.read_proof(
+                    protocol, instances, td, scheme
+                )
+                accs = PlonkSuccinctVerifier.verify(
+                    srs.g_dev, protocol, instances, proof, scheme
+                )
+                for lhs, rhs in accs:
+                    for j, i in enumerate(idxs):
+                        per_snark[i].append((lhs[j], rhs[j]))
+            flat = [acc for lst in per_snark for acc in lst]
+            td = PoseidonTranscript(
+                scalars=jnp.zeros((0, 16), jnp.uint32),
+                points=jnp.zeros((0, 2, 16), jnp.uint32),
+            )
+            proof = KzgAs.read_proof(False, flat, td)
+            return KzgAs.verify(flat, proof)
+
+        return jax.jit(fn)
+
+    key = (
+        "het",
+        tuple(p.content_hash() for p in protos),
+        tuple(group_list),
+        srs.content_hash(),
+        scheme_name,
+        tuple(a.shape for a in flat_args),
     )
-    proof = KzgAs.read_proof(False, flat, td)
-    return KzgAs.verify(flat, proof)
+    fn = _HET_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _HET_CACHE[key] = fn
+    return fn(*flat_args)
 
 
 def aggregate_heterogeneous_and_decide(snarks: Sequence[Snark], srs,
