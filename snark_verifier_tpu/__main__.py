@@ -45,6 +45,12 @@ def cmd_aggregate(args):
     aggregate_proofs.main()
 
 
+def cmd_aggregate_mixed(args):
+    from examples import aggregate_mixed
+
+    aggregate_mixed.main(["--cpu"] if args.cpu else [])
+
+
 def cmd_tree(args):
     jax = _setup(args)
     import time
@@ -140,6 +146,10 @@ def main(argv=None):
     a = sub.add_parser("aggregate", parents=[common], help="batch verify + fold N proofs")
     a.add_argument("--n", type=int, default=4)
 
+    sub.add_parser("aggregate-mixed", parents=[common],
+                   help="fold snarks of two different protocols into one "
+                        "pairing (zkevm+state shape)")
+
     t = sub.add_parser("tree", parents=[common], help="two-layer recursive aggregation")
     t.add_argument("--n", type=int, default=16)
     t.add_argument("--fanout", type=int, default=4)
@@ -163,6 +173,7 @@ def main(argv=None):
         {
             "verify": cmd_verify,
             "aggregate": cmd_aggregate,
+            "aggregate-mixed": cmd_aggregate_mixed,
             "tree": cmd_tree,
             "bench-msm": cmd_bench_msm,
             "gen-evm-verifier": cmd_gen_evm_verifier,
