@@ -166,6 +166,29 @@ class PoseidonJax:
     def update(self, elements: Sequence):
         self.buf.extend(elements)
 
+    def update_chunks_scanned(self, chunks):
+        """Absorb M FULL rate-chunks via one `lax.scan` — graph size O(1) in
+        M, where the buffered path traces one permutation instance per chunk
+        (the compile-explosion source for 1024-accumulator folds).
+
+        chunks: (M, ..., rate, 16) Fr Montgomery limbs whose trailing batch
+        dims match the sponge's batch shape.  Requires an empty buffer (the
+        sponge's chunk boundary must be aligned); sponge semantics equal
+        `update(flat elements)` exactly: full chunks never take the
+        pad-with-1 rule (poseidon.rs:455-467), and the final all-padding
+        permutation still happens in squeeze()."""
+        assert not self.buf, "scanned absorb requires an empty sponge buffer"
+        assert chunks.shape[-2] == self.rate and self.rate == self.t - 1
+        F = FR_FIELD
+
+        def body(st, chunk):
+            s = st.at[..., 1 : 1 + self.rate, :].set(
+                F.add(st[..., 1 : 1 + self.rate, :], chunk)
+            )
+            return permute(s, self.t, self.r_f, self.r_p), None
+
+        self.state, _ = jax.lax.scan(body, self.state, chunks)
+
     def squeeze(self):
         buf, self.buf = self.buf, []
         for i in range(0, len(buf), self.rate):

@@ -66,6 +66,128 @@ class KzgAs:
         ).evaluate()
         return lhs, rhs
 
+    # ------------------------------------------ stacked (large-N) verifier
+    #
+    # Bit-identical to read_proof/verify, but the N accumulators live in ONE
+    # (N, 2, 3, 16) array: the transcript absorb is a lax.scan of full
+    # sponge chunks and the weighted fold one windowed MSM over the stack —
+    # graph size O(1) in N.  The per-element list path above traces one
+    # permutation + one scalar-mul chain PER accumulator, which at the
+    # 1024-leaf tree-fold shape (BASELINE config #5) never finished
+    # compiling (>45 min); the stacked path compiles in seconds.
+
+    @staticmethod
+    def read_proof_stacked(zk: bool, pairs, transcript):
+        """pairs: (N, batch..., 2, 3, 16) projective (lhs, rhs) device
+        stacks; batch dims (if any) must match the transcript's."""
+        N = pairs.shape[0]
+        # (N, batch, 2, 3, 16) -> (N, 2, batch, 3, 16) -> (2N, batch, 3, 16)
+        # so the absorb order stays lhs_i, rhs_i per accumulator
+        moved = jnp.moveaxis(pairs, -3, 1)
+        flat = moved.reshape((2 * N,) + moved.shape[2:])
+        ax, ay, _ = G1.to_affine(flat)
+        transcript.absorb_ec_points_scanned(jnp.stack([ax, ay], axis=-2))
+        blind = None
+        if zk:
+            from .multiopen import _affine_to_proj
+
+            blind = (
+                _affine_to_proj(transcript.read_ec_point()),
+                _affine_to_proj(transcript.read_ec_point()),
+            )
+        r = transcript.squeeze_challenge()
+        return {"blind": blind, "r": r}
+
+    @staticmethod
+    def verify_stacked(pairs, proof):
+        """Stacked fold: Σ rⁱ·lhsᵢ, Σ rⁱ·rhsᵢ as two windowed MSMs over the
+        (N, batch..., 2, 3, 16) stack (+ the optional blind pair appended)."""
+        from ...utils.timing import METER
+
+        N = pairs.shape[0]
+        if proof["blind"] is not None:
+            bl = jnp.stack(proof["blind"], axis=0)[None]  # (1, 2, 3, 16)
+            pairs = jnp.concatenate([pairs, bl], axis=0)
+            N += 1
+        pow_r = _powers_stack(proof["r"], N)  # (N, batch..., 16)
+        METER.count("msm", 2)
+        METER.count("msm_terms", 2 * N)
+        lhs = _weighted_msm(pairs[..., 0, :, :], pow_r)
+        rhs = _weighted_msm(pairs[..., 1, :, :], pow_r)
+        return lhs, rhs
+
+    @staticmethod
+    def fold_hierarchical(pairs, max_chain: int = 32):
+        """Two-level stacked fold of (N, 2, 3, 16) accumulators: split into
+        groups of ≤ `max_chain`, fold every group in ONE batched scan
+        (independent transcripts, so the sponge chains run data-parallel),
+        then fold the group accumulators.
+
+        This is the latency fix for large N: the Fiat–Shamir absorb chain is
+        inherently sequential per transcript (~13 ms per permutation on the
+        tunnel-attached chip), so a flat 1024-accumulator fold costs 2049
+        sequential permutations (~27 s measured); two levels cost ~130
+        (~1.7 s).  It is also exactly the recursion-tree shape of the
+        reference's aggregation example (examples/recursion.rs — leaves,
+        inner folds, root) applied inside one device.  The transcript
+        structure (group size, two levels) is part of this pipeline's
+        definition, like the reference's aggregation circuit shape is part
+        of its.  Soundness is inductive: each level is a complete KzgAs fold
+        with its own post-absorb challenge."""
+        N = pairs.shape[0]
+        g = max(
+            (d for d in range(2, min(max_chain, N - 1) + 1) if N % d == 0),
+            default=None,
+        )
+        if g is None or N <= max_chain:
+            return KzgAs._fold_once(pairs)
+        groups = N // g
+        gp = jnp.moveaxis(pairs.reshape((groups, g) + pairs.shape[1:]), 1, 0)
+        lhs, rhs = KzgAs._fold_once(gp, batch_shape=(groups,))  # (groups,3,16)
+        return KzgAs._fold_once(jnp.stack([lhs, rhs], axis=1))
+
+    @staticmethod
+    def _fold_once(pairs, batch_shape=()):
+        """One stacked fold level with a fresh Poseidon transcript."""
+        from ...transcript import PoseidonTranscript
+
+        td = PoseidonTranscript(
+            scalars=jnp.zeros(batch_shape + (0, 16), jnp.uint32),
+            points=jnp.zeros(batch_shape + (0, 2, 16), jnp.uint32),
+            batch_shape=batch_shape,
+        )
+        proof = KzgAs.read_proof_stacked(False, pairs, td)
+        return KzgAs.verify_stacked(pairs, proof)
+
+
+def _powers_stack(r, n: int):
+    """[1, r, r², …, r^(n-1)] as one (n, …, 16) array via associative_scan
+    (the list `powers()` helper materializes n sequential mul ops)."""
+    import jax
+
+    one = jnp.broadcast_to(FR.one, r.shape)
+    arr = jnp.concatenate(
+        [one[None], jnp.broadcast_to(r, (n - 1,) + r.shape)], axis=0
+    )
+    return jax.lax.associative_scan(FR.mul, arr, axis=0)
+
+
+def _weighted_msm(points, scalars_mont):
+    """Σ sᵢ·Pᵢ over stacked (n, …, 3, 16) points with (n, …, 16) Montgomery
+    scalars — the same windowed kernel MsmExpr.evaluate lowers to, minus the
+    per-entry expression graph."""
+    from ...ff.jnp_field import u16_limbs_to_digits4
+    from ...loader.msm_expr import _use_rns
+
+    pts = jnp.moveaxis(points, 0, -3)  # (..., n, 3, 16)
+    scs = jnp.moveaxis(scalars_mont, 0, -2)  # (..., n, 16)
+    digits = u16_limbs_to_digits4(FR.from_mont(scs))
+    if _use_rns():
+        from ...ec.rns_g1 import G1R, from_rns, to_rns
+
+        return from_rns(G1R.msm_windowed(to_rns(pts), digits, c=4))
+    return G1.msm_windowed(pts, digits, c=4)
+
     # --------------------------------------------------------------- prover
 
     @staticmethod

@@ -111,21 +111,13 @@ def aggregate(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
     """Fold all batch accumulators into one deferred pairing pair.
 
     The fold transcript absorbs every accumulator (per reference
-    accumulation.rs:123-127), with the batch laid out along the instance
-    axis so one squeeze yields the per-fold challenge."""
+    accumulation.rs:123-127) acc-major via the stacked scan-absorb path
+    (O(1) graph size in the batch — pcs/kzg/accumulation.py)."""
     accs = batch_succinct_verify(snarks, srs, scheme_name)
-    # flatten: B proofs x num_accs accumulators -> list of (3,16) pairs
-    flat: List[Tuple] = []
-    B = len(snarks)
-    for lhs, rhs in accs:
-        for b in range(B):
-            flat.append((lhs[b], rhs[b]))
-    td = PoseidonTranscript(
-        scalars=jnp.zeros((0, 16), jnp.uint32),
-        points=jnp.zeros((0, 2, 16), jnp.uint32),
-    )
-    proof = KzgAs.read_proof(False, flat, td)
-    return KzgAs.verify(flat, proof)
+    pairs = jnp.concatenate(
+        [jnp.stack([lhs, rhs], axis=1) for lhs, rhs in accs], axis=0
+    )  # (num_accs*B, 2, 3, 16)
+    return KzgAs.fold_hierarchical(pairs)
 
 
 def aggregate_and_decide(snarks: Sequence[Snark], srs, scheme_name: str = "shplonk"):
@@ -209,13 +201,11 @@ def aggregate_heterogeneous(snarks: Sequence[Snark], srs,
                 for lhs, rhs in accs:
                     for j, i in enumerate(idxs):
                         per_snark[i].append((lhs[j], rhs[j]))
-            flat = [acc for lst in per_snark for acc in lst]
-            td = PoseidonTranscript(
-                scalars=jnp.zeros((0, 16), jnp.uint32),
-                points=jnp.zeros((0, 2, 16), jnp.uint32),
-            )
-            proof = KzgAs.read_proof(False, flat, td)
-            return KzgAs.verify(flat, proof)
+            pairs = jnp.stack(
+                [jnp.stack(acc, axis=0) for lst in per_snark for acc in lst],
+                axis=0,
+            )  # (total_accs, 2, 3, 16), original snark order
+            return KzgAs.fold_hierarchical(pairs)
 
         return jax.jit(fn)
 

@@ -43,13 +43,37 @@ def cache_dir() -> str:
     return d
 
 
+_CODE_FP: Optional[str] = None
+
+
+def _code_fingerprint() -> str:
+    """Content hash of the package's python sources: a cached executable
+    must NOT outlive the code that built it (observed: a fold rewrite whose
+    cache key matched served the old executable).  ~500 KB of source, ms."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for root, _dirs, files in sorted(os.walk(pkg)):
+            for name in sorted(files):
+                if name.endswith(".py"):
+                    p = os.path.join(root, name)
+                    h.update(p.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()
+    return _CODE_FP
+
+
 def digest(key_parts: Sequence[Any]) -> str:
     """Stable cross-process digest of a cache key (repr-based; include
-    shapes, protocol/srs content hashes — not object ids)."""
+    shapes, protocol/srs content hashes — not object ids).  Salted with the
+    package source fingerprint and backend identity."""
     import jax
 
     payload = repr((
         tuple(repr(p) for p in key_parts),
+        _code_fingerprint(),
         jax.__version__,
         jax.default_backend(),
         getattr(jax.devices()[0], "device_kind", "?"),

@@ -40,6 +40,13 @@ def _fold(accs: List[Tuple], batch_shape=()):
     return KzgAs.verify(accs, proof)
 
 
+def _fold_stacked(pairs):
+    """Stacked KzgAs fold of (N, 2, 3, 16) accumulator pairs: O(1) graph
+    size in N, and hierarchical (grouped-batched sponge chains) above 32
+    accumulators — see pcs/kzg/accumulation.py::fold_hierarchical."""
+    return KzgAs.fold_hierarchical(pairs)
+
+
 def tree_aggregate(snarks: Sequence, srs, scheme_name: str = "shplonk",
                    fanout: int = 8):
     """Local two-layer fold: groups of `fanout` leaves -> group accumulators
@@ -115,16 +122,18 @@ def _build_sharded(snarks: Sequence, srs, mesh: Mesh,
         accs = PlonkSuccinctVerifier.verify(
             srs.g_dev, protocol, instances, proof, scheme
         )
-        flat = []
-        for lhs, rhs in accs:
-            for b in range(Bl):
-                flat.append((lhs[b], rhs[b]))
-        g_lhs, g_rhs = _fold(flat)  # layer 1: this device's accumulator
+        # acc-major stack, (num_accs*Bl, 2, 3, 16) — same absorb order as
+        # the old per-element flatten
+        pairs = jnp.concatenate(
+            [jnp.stack([lhs, rhs], axis=1) for lhs, rhs in accs], axis=0
+        )
+        g_lhs, g_rhs = _fold_stacked(pairs)  # layer 1: this device's acc
         # layer 2: gather per-device accumulators over ICI, fold replicated
         all_lhs = jax.lax.all_gather(g_lhs, axis_name)  # (D, 3, 16)
         all_rhs = jax.lax.all_gather(g_rhs, axis_name)
-        pairs = [(all_lhs[d], all_rhs[d]) for d in range(ndev)]
-        root_lhs, root_rhs = _fold(pairs)
+        root_lhs, root_rhs = _fold_stacked(
+            jnp.stack([all_lhs, all_rhs], axis=1)
+        )
         ok = decide(srs, root_lhs, root_rhs)
         return root_lhs, root_rhs, ok
 

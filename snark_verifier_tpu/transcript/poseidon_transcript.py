@@ -58,6 +58,18 @@ class PoseidonTranscript:
         """xy: (..., 2, 16) affine point in Fq Montgomery form."""
         self.h.update([fq_to_fr(xy[..., 0, :]), fq_to_fr(xy[..., 1, :])])
 
+    def absorb_ec_points_scanned(self, xy_stack):
+        """Absorb a STACK of M affine points (M, ..., 2, 16) as M full
+        rate-2 sponge chunks under one lax.scan — bit-identical to M
+        common_ec_point calls but with O(1) graph size (the per-point loop
+        traces a permutation per point: a 1024-accumulator fold compiled
+        for >45 min; the scan compiles in seconds)."""
+        chunks = jnp.stack(
+            [fq_to_fr(xy_stack[..., 0, :]), fq_to_fr(xy_stack[..., 1, :])],
+            axis=-2,
+        )
+        self.h.update_chunks_scanned(chunks)
+
     def squeeze_challenge(self):
         return self.h.squeeze()
 

@@ -50,6 +50,7 @@ def setup():
     return srs, protocol, snarks
 
 
+@pytest.mark.slow
 def test_batch_verify_mixed_validity(setup):
     srs, protocol, snarks = setup
     bad = Snark(
@@ -63,6 +64,7 @@ def test_batch_verify_mixed_validity(setup):
     assert [bool(v) for v in oks] == [True, True, True, False]
 
 
+@pytest.mark.slow
 def test_aggregate_valid_batch_decides(setup):
     srs, protocol, snarks = setup
     lhs, rhs = aggregate(snarks, srs, "shplonk")
@@ -70,6 +72,7 @@ def test_aggregate_valid_batch_decides(setup):
     assert bool(jax.jit(lambda l, r: decide(srs, l, r))(lhs, rhs))
 
 
+@pytest.mark.slow
 def test_aggregate_with_invalid_member_fails(setup):
     srs, protocol, snarks = setup
     bad = Snark(

@@ -19,6 +19,8 @@ from snark_verifier_tpu.transcript.poseidon_transcript import (
 )
 from snark_verifier_tpu.utils.py_poly import peval
 
+pytestmark = pytest.mark.slow  # multi-minute multiopen compile; nightly tier
+
 K = 5
 R_MOD = FR.p
 

@@ -45,6 +45,7 @@ def test_evm_transcript_squeeze_semantics():
     assert c2 == int.from_bytes(h2, "big") % FR.p
 
 
+@pytest.mark.slow
 def test_plonk_e2e_with_evm_transcript():
     srs = toy_srs(32)
     circuit = StandardPlonk.rand(k=3, seed=11)

@@ -22,6 +22,8 @@ from snark_verifier_tpu.system import vanilla_plonk as vp
 
 from test_vanilla_plonk import make_assignment, make_spec
 
+pytestmark = pytest.mark.slow  # multi-protocol verify compiles; nightly tier
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -136,6 +136,7 @@ def test_native_verify_evm_transcript(evm_snarks):
                                    transcript="poseidon")
 
 
+@pytest.mark.slow
 def test_device_batch_verify_evm_transcript(evm_snarks):
     """The headline capability: keccak-transcript proofs through the same
     batched jitted verify path as Poseidon ones, accept + tamper lanes."""

@@ -52,6 +52,7 @@ def test_native_rejects_tampered_eval(setup, strat):
 
 
 @pytest.mark.parametrize("strat", [MINUS_VANISHING, WITHOUT_CONSTANT])
+@pytest.mark.slow
 def test_device_accepts_and_rejects(setup, strat):
     srs, _, out = setup
     protocol, snark = out[strat]
@@ -62,6 +63,7 @@ def test_device_accepts_and_rejects(setup, strat):
     assert [bool(v) for v in oks] == [True, False]
 
 
+@pytest.mark.slow
 def test_gwc_scheme_also_works(setup):
     srs, circuit, out = setup
     protocol, _ = out[MINUS_VANISHING]
