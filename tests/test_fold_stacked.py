@@ -46,6 +46,7 @@ def test_sponge_scan_absorb_matches_loop():
 
 
 @pytest.mark.parametrize("n", [1, 5])
+@pytest.mark.slow
 def test_stacked_fold_matches_list_fold(n):
     pairs_list = _rand_pairs(n, seed=n)
     pairs_stack = jnp.stack(
@@ -78,6 +79,7 @@ def test_stacked_fold_matches_list_fold(n):
     assert to_affine_int(r1) == to_affine_int(r2)
 
 
+@pytest.mark.slow
 def test_hierarchical_fold_preserves_validity():
     """fold_hierarchical (grouped-batched sponge chains, N=64 -> 8x8) of
     VALID accumulators (lhs = tau*rhs) must produce a valid accumulator;

@@ -27,6 +27,8 @@ from snark_verifier_tpu.transcript.poseidon_transcript import (
 )
 from snark_verifier_tpu.utils.py_poly import peval
 
+pytestmark = pytest.mark.slow  # 1055s: IPA prover+verifier+decider compiles; nightly tier
+
 # KNOWN FLAKE on some hosts: this image's XLA:CPU codegen can segfault
 # while (re)compiling the Poseidon permute inside test_bgh19_multiopen_
 # roundtrip — reproduced with the persistent cache off, with serialized

@@ -26,6 +26,8 @@ from snark_verifier_tpu.sdk.srs import toy_srs
 from snark_verifier_tpu.transcript import PoseidonTranscript, PoseidonTranscriptPy
 from snark_verifier_tpu.utils import py_poly as pp
 
+pytestmark = pytest.mark.slow  # 901s: multiopen roundtrip compiles; nightly tier
+
 
 def _setup(scheme, seed=7, tamper=False):
     rng = random.Random(seed)

@@ -11,6 +11,8 @@ from snark_verifier_tpu.ec import from_affine_int, py_ec, to_affine_int
 from snark_verifier_tpu.msm import msm, msm_checked, scalars_from_int
 from snark_verifier_tpu.parallel import msm_sharded
 
+pytestmark = pytest.mark.slow  # multi-minute Pippenger/Pallas compiles; nightly tier
+
 
 def _case(n, seed, scalar_fn=None):
     rng = random.Random(seed)

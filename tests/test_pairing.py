@@ -16,6 +16,8 @@ from snark_verifier_tpu.pairing.pairing import (
 )
 from snark_verifier_tpu.tower import FQ12, fq12_from_int, fq12_to_int
 
+pytestmark = pytest.mark.slow  # multi-minute tower/pairing compiles; nightly tier
+
 
 def test_oracle_bilinearity():
     g1, g2 = py_ec.G1_GEN, pp.G2_GEN

@@ -26,9 +26,12 @@ from snark_verifier_tpu.sdk.srs import toy_srs
 from snark_verifier_tpu.system.standard_plonk import StandardPlonk, build_protocol, gen_snark
 from snark_verifier_tpu.transcript import PoseidonTranscriptPy
 from snark_verifier_tpu.verifier.plonk.verifier import (
+
     succinct_verify_native,
     verify_snark_native,
 )
+
+pytestmark = pytest.mark.slow  # 9+ min: recursion e2e compiles; nightly tier
 
 R = FR.p
 

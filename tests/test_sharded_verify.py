@@ -10,10 +10,13 @@ from snark_verifier_tpu.parallel import batch_verify_sharded
 from snark_verifier_tpu.sdk.snark import Snark
 from snark_verifier_tpu.sdk.srs import toy_srs
 from snark_verifier_tpu.system.standard_plonk import (
+
     StandardPlonk,
     build_protocol,
     gen_snark,
 )
+
+pytestmark = pytest.mark.slow  # mesh verify compiles; nightly tier
 
 
 def test_batch_verify_sharded_matches_local():

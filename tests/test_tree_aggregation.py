@@ -11,10 +11,13 @@ from snark_verifier_tpu.sdk.snark import Snark
 from snark_verifier_tpu.sdk.srs import toy_srs
 from snark_verifier_tpu.sdk.tree_aggregation import tree_aggregate, tree_aggregate_sharded
 from snark_verifier_tpu.system.standard_plonk import (
+
     StandardPlonk,
     build_protocol,
     gen_snark,
 )
+
+pytestmark = pytest.mark.slow  # mesh tree-fold compiles; nightly tier
 
 
 @pytest.fixture(scope="module")

@@ -12,6 +12,7 @@ from snark_verifier_tpu.ff.spec import FR
 from snark_verifier_tpu.sdk.aggregation import batch_verify
 from snark_verifier_tpu.sdk.srs import toy_srs
 from snark_verifier_tpu.system.vanilla_plonk import (
+
     Assignment,
     CircuitSpec,
     Col,
@@ -19,6 +20,8 @@ from snark_verifier_tpu.system.vanilla_plonk import (
     compile_protocol,
     gen_snark,
 )
+
+pytestmark = pytest.mark.slow  # K=6 full-equation verify compiles; nightly tier
 
 R = FR.p
 K = 6
