@@ -159,35 +159,6 @@ class KzgAs:
         proof = KzgAs.read_proof_stacked(False, pairs, td)
         return KzgAs.verify_stacked(pairs, proof)
 
-
-def _powers_stack(r, n: int):
-    """[1, r, r², …, r^(n-1)] as one (n, …, 16) array via associative_scan
-    (the list `powers()` helper materializes n sequential mul ops)."""
-    import jax
-
-    one = jnp.broadcast_to(FR.one, r.shape)
-    arr = jnp.concatenate(
-        [one[None], jnp.broadcast_to(r, (n - 1,) + r.shape)], axis=0
-    )
-    return jax.lax.associative_scan(FR.mul, arr, axis=0)
-
-
-def _weighted_msm(points, scalars_mont):
-    """Σ sᵢ·Pᵢ over stacked (n, …, 3, 16) points with (n, …, 16) Montgomery
-    scalars — the same windowed kernel MsmExpr.evaluate lowers to, minus the
-    per-entry expression graph."""
-    from ...ff.jnp_field import u16_limbs_to_digits4
-    from ...loader.msm_expr import _use_rns
-
-    pts = jnp.moveaxis(points, 0, -3)  # (..., n, 3, 16)
-    scs = jnp.moveaxis(scalars_mont, 0, -2)  # (..., n, 16)
-    digits = u16_limbs_to_digits4(FR.from_mont(scs))
-    if _use_rns():
-        from ...ec.rns_g1 import G1R, from_rns, to_rns
-
-        return from_rns(G1R.msm_windowed(to_rns(pts), digits, c=4))
-    return G1.msm_windowed(pts, digits, c=4)
-
     # --------------------------------------------------------------- prover
 
     @staticmethod
@@ -220,3 +191,32 @@ def _weighted_msm(points, scalars_mont):
             rhs = py_ec.add(rhs, py_ec.scalar_mul(rh, pr))
             pr = pr * r % FR_SPEC.p
         return lhs, rhs
+
+
+def _powers_stack(r, n: int):
+    """[1, r, r², …, r^(n-1)] as one (n, …, 16) array via associative_scan
+    (the list `powers()` helper materializes n sequential mul ops)."""
+    import jax
+
+    one = jnp.broadcast_to(FR.one, r.shape)
+    arr = jnp.concatenate(
+        [one[None], jnp.broadcast_to(r, (n - 1,) + r.shape)], axis=0
+    )
+    return jax.lax.associative_scan(FR.mul, arr, axis=0)
+
+
+def _weighted_msm(points, scalars_mont):
+    """Σ sᵢ·Pᵢ over stacked (n, …, 3, 16) points with (n, …, 16) Montgomery
+    scalars — the same windowed kernel MsmExpr.evaluate lowers to, minus the
+    per-entry expression graph."""
+    from ...ff.jnp_field import u16_limbs_to_digits4
+    from ...loader.msm_expr import _use_rns
+
+    pts = jnp.moveaxis(points, 0, -3)  # (..., n, 3, 16)
+    scs = jnp.moveaxis(scalars_mont, 0, -2)  # (..., n, 16)
+    digits = u16_limbs_to_digits4(FR.from_mont(scs))
+    if _use_rns():
+        from ...ec.rns_g1 import G1R, from_rns, to_rns
+
+        return from_rns(G1R.msm_windowed(to_rns(pts), digits, c=4))
+    return G1.msm_windowed(pts, digits, c=4)
