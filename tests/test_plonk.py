@@ -20,6 +20,8 @@ from snark_verifier_tpu.verifier.plonk.verifier import (
     PlonkVerifier,
 )
 
+pytestmark = pytest.mark.slow  # 688s: device verify e2e compiles; nightly tier
+
 
 def _roundtrip(scheme_name, scheme, tamper=False):
     srs = toy_srs(32)
