@@ -12,9 +12,10 @@ C++ multithreaded Pippenger on this host (the reference's rayon MSM shape);
 the verify ratio is against the python native-loader verifier (the
 reference's NativeLoader execution model) on this host.
 
-Env knobs: BENCH_MODE=all|msm|verify|pairing, BENCH_LOG2N, BENCH_REPS,
-BENCH_BATCH, BENCH_BUDGET (seconds; remaining phases are skipped —
-and reported as null — once exceeded).
+Env knobs: BENCH_MODE=all|msm|verify|pairing|tree, BENCH_LOG2N, BENCH_REPS,
+BENCH_BATCH, BENCH_TRANSCRIPT=poseidon|evm, BENCH_SCHEME=shplonk|gwc,
+BENCH_BUDGET (seconds; remaining phases are skipped — and reported as
+null — once exceeded).
 """
 
 import json
@@ -184,10 +185,14 @@ def bench_verify():
     # BENCH_TRANSCRIPT=evm runs the keccak (on-chain) proof family through
     # the same batched device path via the device keccak-f[1600] transcript
     transcript = os.environ.get("BENCH_TRANSCRIPT", "poseidon")
+    # BENCH_SCHEME=gwc measures the GWC19 multiopen family on device (needs
+    # the gwcsnark_ fixtures: benchmarks/gen_fixtures.py 10 16 gwc)
+    scheme = os.environ.get("BENCH_SCHEME", "shplonk")
     from snark_verifier_tpu.parallel import batch_verify_sharded
     from snark_verifier_tpu.verifier.plonk.verifier import verify_snark_native
 
-    prefix = "evmsnark_" if transcript == "evm" else "snark_"
+    prefix = ("gwcsnark_" if scheme == "gwc"
+              else "evmsnark_" if transcript == "evm" else "snark_")
     srs, base = _load_fixture_snarks(prefix)
     if not base:
         log(f"verify: no {prefix} fixtures found, skipping")
@@ -197,7 +202,7 @@ def bench_verify():
 
     timings = {}
     t0 = time.time()
-    oks = batch_verify_sharded(snarks, srs, mesh, "shplonk", timings=timings,
+    oks = batch_verify_sharded(snarks, srs, mesh, scheme, timings=timings,
                                transcript=transcript)
     _sync(oks)
     compile_s = time.time() - t0
@@ -207,7 +212,7 @@ def bench_verify():
     times = []
     for _ in range(reps):
         t0 = time.time()
-        _sync(batch_verify_sharded(snarks, srs, mesh, "shplonk",
+        _sync(batch_verify_sharded(snarks, srs, mesh, scheme,
                                    transcript=transcript))
         times.append(time.time() - t0)
     dt = min(times)
@@ -221,7 +226,7 @@ def bench_verify():
              snarks[0].scalars, snarks[0].points)
     tam.instances[0][0] = (tam.instances[0][0] + 1) % _FR.p
     neg = np.asarray(batch_verify_sharded([tam] + snarks[1:], srs, mesh,
-                                          "shplonk", transcript=transcript))
+                                          scheme, transcript=transcript))
     neg_ok = (not bool(neg[0])) and bool(neg[1:].all())
     log(f"verify correct={ok} negative_control={neg_ok} best={dt:.3f}s")
 
@@ -230,7 +235,7 @@ def bench_verify():
     t0 = time.time()
     n_native = 2
     for i in range(n_native):
-        assert verify_snark_native(base[i], srs, "shplonk",
+        assert verify_snark_native(base[i], srs, scheme,
                                    transcript=transcript)
     native_rate = n_native / (time.time() - t0)
     log(f"native-loader verify: {native_rate:.2f} proofs/s")
@@ -257,7 +262,7 @@ def bench_verify():
             f"base=[Snark.load(os.path.join(d,n)) for n in sorted(os.listdir(d)) if n.startswith({prefix!r})]\n"
             f"snarks=[base[i%len(base)] for i in range({B})]\n"
             "mesh=jax.sharding.Mesh(np.array(jax.devices()[:1]),('batch',))\n"
-            f"oks=batch_verify_sharded(snarks,srs,mesh,'shplonk',transcript={transcript!r})\n"
+            f"oks=batch_verify_sharded(snarks,srs,mesh,{scheme!r},transcript={transcript!r})\n"
             "assert bool(np.asarray(jax.device_get(oks)).all())\n"
             "print('WARM_START_S=%.1f'%(time.time()-t0))\n"
         )
@@ -282,7 +287,7 @@ def bench_verify():
         "verify_native_baseline_proofs_per_sec": round(native_rate, 2),
         "verify_warm_start_s": warm_s,
         "verify_workload": (
-            "vanilla_plonk_k10_perm_lookup_challenge_shplonk"
+            f"vanilla_plonk_k10_perm_lookup_challenge_{scheme}"
             + ("_keccak" if transcript == "evm" else "")
         ),
     }

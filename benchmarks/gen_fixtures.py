@@ -1,7 +1,9 @@
 """Generate the committed bench fixtures: M distinct vanilla-PLONK snarks at
 k=10 (full verification equation) + protocol + SRS, so `bench.py`'s verify
 phase measures the honest workload without re-proving at bench time.
-Usage: python benchmarks/gen_fixtures.py [K] [M]"""
+Usage: python benchmarks/gen_fixtures.py [K] [M] [scheme]
+  scheme=all (default): shplonk + keccak-transcript twins
+  scheme=gwc: only the GWC19-multiopen family (gwcsnark_*, BENCH_SCHEME=gwc)"""
 import json, os, sys, time
 
 import jax
@@ -14,6 +16,7 @@ from snark_verifier_tpu.system.vanilla_plonk import compile_protocol, gen_snark
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 M = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+SCHEME = sys.argv[3] if len(sys.argv) > 3 else "all"
 out = os.path.join(os.path.dirname(__file__), "fixtures", f"vanilla_k{K}")
 os.makedirs(out, exist_ok=True)
 
@@ -24,6 +27,15 @@ protocol = compile_protocol(spec, asg0.fixed, asg0.copies, srs)
 with open(os.path.join(out, "protocol.json"), "w") as f:
     json.dump(protocol.to_json(), f)
 save_params(srs, os.path.join(out, "srs.bin"))
+if SCHEME == "gwc":
+    for i in range(M):
+        t0 = time.time()
+        asg = demo_assignment(spec, seed=i)
+        snark = gen_snark(asg, protocol, srs, scheme="gwc", seed=i)
+        snark.save(os.path.join(out, f"gwcsnark_{i:02d}.json"))
+        print(f"gwc snark {i}: {time.time()-t0:.1f}s", flush=True)
+    print("done", flush=True)
+    sys.exit(0)
 for i in range(M):
     t0 = time.time()
     asg = demo_assignment(spec, seed=i)
